@@ -1,0 +1,358 @@
+"""Typed configuration tree: frozen dataclasses <- YAML + dot-path overrides.
+
+Capability parity: the reference drives everything from a single YAML
+deserialized into a nested dataclass tree (``dacite.from_dict``) with one
+sub-config per package (dataset / model / vocoder / experiment) — SURVEY.md
+§3.1 #2, §6.6.  We implement the same surface with a small self-contained
+``from_dict`` (no external dep), plus ``--override key.path=value`` merging
+and round-trip serialization so every run can persist its resolved config.
+
+The model-config knob surface covers the verified Reformer config fields
+(SURVEY.md §3.2 "Config surface") plus the TTS heads and SqueezeWave knobs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pathlib
+import typing
+from dataclasses import dataclass, field
+from typing import Any, List, Optional, Tuple, Union
+
+
+# ---------------------------------------------------------------------------
+# Sub-configs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class AudioConfig:
+    """STFT / mel-spectrogram front-end parameters (tacotron-style)."""
+
+    sample_rate: int = 22050
+    n_fft: int = 1024
+    hop_length: int = 256
+    win_length: int = 1024
+    n_mels: int = 80
+    fmin: float = 0.0
+    fmax: Optional[float] = 8000.0
+    # log-compression floor: mel = log(max(linear, floor))
+    log_floor: float = 1e-5
+    center: bool = True
+
+
+@dataclass(frozen=True)
+class TextConfig:
+    """Text frontend: cleaning + tokenization to a fixed symbol set."""
+
+    cleaner: str = "english"          # "english" | "basic" | "identity"
+    lowercase: bool = True
+    # pad/eos ids are fixed by the symbol table (pad=0, eos=1)
+    max_len: int = 512                # static-shape budget for token ids
+    pad_to_multiple: int = 64         # LSH chunk alignment for encoder input
+
+
+@dataclass(frozen=True)
+class DatasetConfig:
+    data_dir: str = "data"
+    manifest: str = "manifest.json"
+    split_seed: int = 0
+    val_fraction: float = 0.05
+    # static-shape batching buckets (token_len, mel_len) pairs
+    mel_pad_to_multiple: int = 64
+    max_mel_len: int = 1024
+    batch_size: int = 8
+    num_workers: int = 0              # >0 uses the native C++ loader if built
+    shuffle_seed: int = 0
+    audio: AudioConfig = field(default_factory=AudioConfig)
+    text: TextConfig = field(default_factory=TextConfig)
+
+
+@dataclass(frozen=True)
+class AttentionConfig:
+    """Reformer attention knobs (verified surface, SURVEY.md §3.2)."""
+
+    kind: str = "lsh"                 # "full" | "lsh" | "local"
+    num_heads: int = 8
+    head_dim: int = 64
+    num_hashes: int = 4
+    num_buckets: Optional[int] = None  # None => auto: 2*L/chunk rounded to pow2
+    chunk_length: int = 64
+    num_chunks_before: int = 1
+    num_chunks_after: int = 0
+    hash_seed: Optional[int] = None   # fixed seed => deterministic LSH (tests)
+    attention_dropout: float = 0.0
+    # mask penalty asymmetry (reference semantics): hard mask vs self-attend
+    mask_value: float = -1e9
+    self_mask_value: float = -1e5
+
+
+@dataclass(frozen=True)
+class ReformerStackConfig:
+    """One Reformer encoder or decoder stack."""
+
+    num_layers: int = 6
+    d_model: int = 512
+    d_ff: int = 2048
+    ffn_chunk_size: int = 0           # 0 => no chunking
+    ffn_activation: str = "gelu"
+    dropout: float = 0.1
+    reversible: bool = True
+    causal: bool = False
+    attention: AttentionConfig = field(default_factory=AttentionConfig)
+
+
+@dataclass(frozen=True)
+class ReformerTTSConfig:
+    """Seq2seq text->mel acoustic model (Transformer-TTS topology with
+    Reformer stacks — SURVEY.md §3.1 #8)."""
+
+    vocab_size: int = 0               # 0 => set from symbol table at build
+    d_model: int = 512
+    n_mels: int = 80
+    encoder: ReformerStackConfig = field(
+        default_factory=lambda: ReformerStackConfig(causal=False)
+    )
+    decoder: ReformerStackConfig = field(
+        default_factory=lambda: ReformerStackConfig(causal=True)
+    )
+    # encoder prenet: conv stack over embeddings
+    enc_prenet_layers: int = 3
+    enc_prenet_kernel: int = 5
+    enc_prenet_dropout: float = 0.1
+    # decoder prenet: 2-layer bottleneck MLP on mel frames
+    dec_prenet_hidden: int = 256
+    dec_prenet_dropout: float = 0.5
+    # postnet: conv residual refiner
+    postnet_layers: int = 5
+    postnet_channels: int = 512
+    postnet_kernel: int = 5
+    postnet_dropout: float = 0.1
+    # positional encoding
+    pos_encoding: str = "scaled_sinusoidal"  # or "axial"
+    axial_pos_shape: Tuple[int, int] = (32, 32)
+    axial_pos_dims: Tuple[int, int] = (256, 256)
+    max_pos: int = 4096
+    # stop token head
+    stop_threshold: float = 0.5
+    stop_pos_weight: float = 8.0      # BCE positive-class weight (rare stops)
+    # dtype policy
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class SqueezeWaveConfig:
+    """SqueezeWave flow vocoder (SURVEY.md §3.1 #11)."""
+
+    n_mels: int = 80
+    n_flows: int = 12
+    n_group: int = 128                # audio samples squeezed per frame
+    n_early_every: int = 4
+    n_early_size: int = 16
+    wn_layers: int = 8
+    wn_channels: int = 128
+    wn_kernel_size: int = 3
+    sigma: float = 1.0
+    sample_rate: int = 22050
+    hop_length: int = 256
+    audio_segment_length: int = 16384  # random crop length for training
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    optimizer: str = "adam"
+    learning_rate: float = 1e-4
+    warmup_steps: int = 4000
+    schedule: str = "noam"            # "noam" | "constant" | "cosine"
+    total_steps: int = 100_000
+    weight_decay: float = 0.0
+    grad_clip_norm: float = 1.0
+    beta1: float = 0.9
+    beta2: float = 0.98
+    eps: float = 1e-9
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """SPMD device-mesh layout (SURVEY.md §6.8)."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    # -1 => use all available devices along the data axis
+    data_parallel: int = -1
+    model_parallel: int = 1
+
+
+@dataclass(frozen=True)
+class CheckpointConfig:
+    directory: str = "checkpoints"
+    keep: int = 3
+    save_every_steps: int = 1000
+    resume: bool = True
+
+
+@dataclass(frozen=True)
+class LoggingConfig:
+    jsonl_path: str = "metrics.jsonl"
+    tensorboard_dir: Optional[str] = None
+    log_every_steps: int = 50
+    eval_every_steps: int = 500
+    artifacts_dir: str = "artifacts"  # spectrogram PNGs + wavs at eval
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    name: str = "default"
+    seed: int = 0
+    max_steps: int = 10_000
+    eval_batches: int = 4
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    checkpoint: CheckpointConfig = field(default_factory=CheckpointConfig)
+    logging: LoggingConfig = field(default_factory=LoggingConfig)
+
+
+@dataclass(frozen=True)
+class Config:
+    """Root config — one YAML file maps onto this tree."""
+
+    dataset: DatasetConfig = field(default_factory=DatasetConfig)
+    model: ReformerTTSConfig = field(default_factory=ReformerTTSConfig)
+    vocoder: SqueezeWaveConfig = field(default_factory=SqueezeWaveConfig)
+    experiment: ExperimentConfig = field(default_factory=ExperimentConfig)
+
+
+# ---------------------------------------------------------------------------
+# from_dict / to_dict / YAML / overrides — self-contained (no dacite dep)
+# ---------------------------------------------------------------------------
+
+
+def _is_optional(tp) -> bool:
+    return typing.get_origin(tp) is Union and type(None) in typing.get_args(tp)
+
+
+def _unwrap_optional(tp):
+    args = [a for a in typing.get_args(tp) if a is not type(None)]
+    return args[0] if len(args) == 1 else Union[tuple(args)]
+
+
+def _coerce(value: Any, tp) -> Any:
+    """Coerce a plain python value into the annotated type."""
+    if tp is Any:
+        return value
+    if _is_optional(tp):
+        if value is None:
+            return None
+        return _coerce(value, _unwrap_optional(tp))
+    origin = typing.get_origin(tp)
+    if dataclasses.is_dataclass(tp):
+        if isinstance(value, tp):
+            return value
+        if not isinstance(value, dict):
+            raise TypeError(f"expected mapping for {tp.__name__}, got {value!r}")
+        return from_dict(tp, value)
+    if origin in (list, List):
+        (elem_tp,) = typing.get_args(tp) or (Any,)
+        return [_coerce(v, elem_tp) for v in value]
+    if origin in (tuple, Tuple):
+        args = typing.get_args(tp)
+        if len(args) == 2 and args[1] is Ellipsis:
+            return tuple(_coerce(v, args[0]) for v in value)
+        return tuple(_coerce(v, t) for v, t in zip(value, args))
+    if tp is float and isinstance(value, int):
+        return float(value)
+    if tp is int and isinstance(value, float) and value.is_integer():
+        return int(value)
+    if tp in (int, float, str, bool) and not isinstance(value, tp):
+        raise TypeError(f"expected {tp.__name__}, got {type(value).__name__}: {value!r}")
+    return value
+
+
+def from_dict(cls, data: dict):
+    """Build a dataclass instance from a nested dict, type-checking fields.
+
+    Unknown keys are an error (catches config typos early, same posture as
+    dacite's strict mode in the reference)."""
+    hints = typing.get_type_hints(cls)
+    names = {f.name for f in dataclasses.fields(cls)}
+    unknown = set(data) - names
+    if unknown:
+        raise KeyError(f"unknown config keys for {cls.__name__}: {sorted(unknown)}")
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name in data:
+            kwargs[f.name] = _coerce(data[f.name], hints[f.name])
+    return cls(**kwargs)
+
+
+def to_dict(cfg) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+def _parse_scalar(text: str) -> Any:
+    t = text.strip()
+    low = t.lower()
+    if low in ("null", "none", "~"):
+        return None
+    if low == "true":
+        return True
+    if low == "false":
+        return False
+    try:
+        return int(t)
+    except ValueError:
+        pass
+    try:
+        return float(t)
+    except ValueError:
+        pass
+    if t.startswith("[") or t.startswith("{"):
+        return json.loads(t)
+    if len(t) >= 2 and t[0] == t[-1] and t[0] in "'\"":
+        return t[1:-1]
+    return t
+
+
+def load_yaml(path: Union[str, pathlib.Path]) -> dict:
+    import yaml  # PyYAML is baked into the image
+
+    with open(path) as f:
+        return yaml.safe_load(f) or {}
+
+
+def apply_overrides(data: dict, overrides: List[str]) -> dict:
+    """Apply ``a.b.c=value`` dot-path overrides onto a nested dict."""
+    out = json.loads(json.dumps(data))  # deep copy
+    for ov in overrides:
+        if "=" not in ov:
+            raise ValueError(f"override must be key.path=value, got {ov!r}")
+        key, _, raw = ov.partition("=")
+        node = out
+        parts = key.strip().split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = _parse_scalar(raw)
+    return out
+
+
+def load_config(
+    path: Optional[Union[str, pathlib.Path]] = None,
+    overrides: Optional[List[str]] = None,
+) -> Config:
+    data = load_yaml(path) if path else {}
+    if overrides:
+        data = apply_overrides(data, overrides)
+    return from_dict(Config, data)
+
+
+def save_config(cfg: Config, path: Union[str, pathlib.Path]) -> None:
+    import yaml
+
+    p = pathlib.Path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    with open(p, "w") as f:
+        yaml.safe_dump(to_dict(cfg), f, sort_keys=False)

@@ -1,0 +1,68 @@
+"""Sharding rules: PartitionSpecs for params, batches, and optimizer state.
+
+Design (SURVEY.md §3.4): data-parallel is the first-class strategy — batch
+axis sharded over ``data``; parameters replicated by default, with optional
+tensor-parallel rules that shard d_ff / heads over ``model`` for larger
+configs.  XLA emits the gradient psum from these annotations; no hand-written
+collectives on the training path.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rtts.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Device-put a pytree of host arrays with batch-axis sharding."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, batch_sharding(mesh, x.ndim)), batch
+    )
+
+
+def param_sharding_rules(path_str: str, ndim: int, tensor_parallel: bool) -> P:
+    """Map a parameter (by pytree path string + rank) to a PartitionSpec.
+
+    Without tensor parallelism everything is replicated.  With it, the FFN
+    and attention projection matrices shard their wide axis over ``model``:
+      - ffn in-projection  (d_model, d_ff): shard axis 1
+      - ffn out-projection (d_ff, d_model): shard axis 0
+      - qkv projections    (d_model, n_heads*head_dim): shard axis 1
+      - attention output   (n_heads*head_dim, d_model): shard axis 0
+    """
+    if not tensor_parallel or ndim < 2:
+        return P()
+    p = path_str.lower()
+    if ("ffn" in p or "feed_forward" in p) and ("w_in" in p or "wi" in p):
+        return P(None, MODEL_AXIS)
+    if ("ffn" in p or "feed_forward" in p) and ("w_out" in p or "wo" in p):
+        return P(MODEL_AXIS, None)
+    if any(k in p for k in ("w_qk", "w_q", "w_k", "w_v", "qkv")):
+        return P(None, MODEL_AXIS)
+    if "w_o" in p or "out_proj" in p:
+        return P(MODEL_AXIS, None)
+    return P()
+
+
+def make_param_shardings(params: Any, mesh: Mesh, tensor_parallel: bool = False) -> Any:
+    """Build a NamedSharding pytree matching ``params``."""
+
+    def one(path, leaf):
+        path_str = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+        spec = param_sharding_rules(path_str, getattr(leaf, "ndim", 0), tensor_parallel)
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(one, params)
