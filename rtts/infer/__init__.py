@@ -1,0 +1,4 @@
+from rtts.infer.decode import decode_greedy, decode_teacher_check
+from rtts.infer.synthesize import synthesize, Synthesizer
+
+__all__ = ["decode_greedy", "decode_teacher_check", "synthesize", "Synthesizer"]

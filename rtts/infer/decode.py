@@ -1,0 +1,296 @@
+"""Autoregressive mel decoding as a jit-compiled loop (SURVEY.md §4.3).
+
+This is the primary-metric hot path (mel frames/sec/chip).  Two designs:
+
+1. ``decode_greedy`` — incremental KV-cached decode: each decoder layer
+   caches its (shared-QK, V) projections in static (B, T_max, H, d) buffers;
+   each step projects one frame, appends via dynamic_update_slice, and
+   attends over the valid prefix.  O(T) per step instead of the reference's
+   full per-step re-run (the reference TTS loop re-runs the decoder stack on
+   the whole prefix each frame — SURVEY.md §4.3 "no LSH KV-cache").  Runs
+   under ``lax.while_loop`` so generation stops as soon as every batch row
+   has fired its stop token — no wasted steps.  Exact for full-softmax
+   attention; for LSH-trained models it is the standard serving choice
+   because causal shared-QK full attention is a strict superset of the
+   LSH-restricted pattern (every bucketed key is visible to the query).
+
+2. ``decode_teacher_check`` — step-by-step decode fed with ground-truth
+   frames; must reproduce ``decode_train`` outputs exactly.  This is the
+   parity test for the incremental path.
+
+The incremental step replicates the two-stream reversible recurrence
+(h1 += f(h2); h2 += g(h1); output = mean) so outputs match training
+numerics whether the stack was trained reversible or not.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rtts.attention.full import MASK_VALUE, SELF_MASK_VALUE, _len_norm
+from rtts.config import ReformerTTSConfig
+from rtts.models.reformer_tts import _dtype, postnet_apply
+from rtts.nn.layers import dense, layer_norm, prenet_mlp
+from rtts.nn.posenc import scaled_posenc
+
+
+# ---------------------------------------------------------------------------
+# incremental sublayer primitives
+# ---------------------------------------------------------------------------
+
+
+def _proj_heads(params_w, x, num_heads, cdt):
+    """(B, D) -> (B, H, d)"""
+    y = dense(params_w, x, cdt)
+    b, di = y.shape
+    return y.reshape(b, num_heads, di // num_heads)
+
+
+def _self_attn_step(p, h_t, qk_cache, v_cache, t, num_heads, cdt):
+    """One-frame shared-QK causal self-attention over the cached prefix.
+
+    h_t: (B, D) LN'd input frame.  qk_cache/v_cache: (B, T_max, H, d).
+    Returns (out (B, D), new caches).
+    """
+    qk_t = _proj_heads(p["w_qk"], h_t, num_heads, cdt)   # (B, H, d)
+    v_t = _proj_heads(p["w_v"], h_t, num_heads, cdt)
+    qk_cache = jax.lax.dynamic_update_slice_in_dim(
+        qk_cache, qk_t[:, None], t, axis=1)
+    v_cache = jax.lax.dynamic_update_slice_in_dim(
+        v_cache, v_t[:, None], t, axis=1)
+    d = qk_t.shape[-1]
+    k = _len_norm(qk_cache) * (d ** -0.5)                # (B, T, H, d)
+    scores = jnp.einsum("bhd,bthd->bht", qk_t, k).astype(jnp.float32)
+    t_max = qk_cache.shape[1]
+    pos = jnp.arange(t_max)[None, None, :]
+    scores = jnp.where(pos > t, MASK_VALUE, scores)      # causal/validity
+    scores = jnp.where(pos == t, SELF_MASK_VALUE, scores)  # no self-attend
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bht,bthd->bhd", probs.astype(v_cache.dtype), v_cache)
+    out = out.reshape(out.shape[0], -1)
+    return dense(p["w_o"], out, cdt), qk_cache, v_cache
+
+
+def _cross_attn_step(p, h_t, mem_k, mem_v, memory_mask, num_heads, cdt):
+    """One-frame cross-attention. mem_k/mem_v: (B, L, H, d) precomputed."""
+    q = _proj_heads(p["w_q"], h_t, num_heads, cdt)
+    d = q.shape[-1]
+    scores = jnp.einsum("bhd,blhd->bhl", q, mem_k).astype(jnp.float32) * (d ** -0.5)
+    if memory_mask is not None:
+        scores = jnp.where(memory_mask[:, None, :], scores, MASK_VALUE)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhl,blhd->bhd", probs.astype(mem_v.dtype), mem_v)
+    return dense(p["w_o"], out.reshape(out.shape[0], -1), cdt)
+
+
+def _ffn_step(p, y_t, act_name, cdt):
+    from rtts.nn.layers import activation
+
+    h = layer_norm(p["ln"], y_t)
+    h = activation(act_name)(dense(p["w_in"], h, cdt))
+    return dense(p["w_out"], h, cdt)
+
+
+# ---------------------------------------------------------------------------
+# decode state
+# ---------------------------------------------------------------------------
+
+
+class DecodeState(NamedTuple):
+    t: jnp.ndarray                 # scalar int32 step
+    done: jnp.ndarray              # (B,) bool
+    lengths: jnp.ndarray           # (B,) int32 — first-stop frame counts
+    prev_frame: jnp.ndarray        # (B, n_mels)
+    mel: jnp.ndarray               # (B, T_max, n_mels)
+    stop_logits: jnp.ndarray       # (B, T_max)
+    qk_caches: Any                 # tuple over self-attn layers
+    v_caches: Any
+
+
+def _init_mem_kv(params, cfg: ReformerTTSConfig, memory, cdt):
+    """Precompute cross-attention K/V per decoder cross layer."""
+    num_heads = cfg.decoder.attention.num_heads
+    mem_k, mem_v = [], []
+    layers = params["decoder"]["layers"]
+    # layer layout from stack_init(cross_attend=True): [self, cross] * L
+    for i in range(1, len(layers), 2):
+        p = layers[i]["f"]
+        h = layer_norm(p["ln"], memory)
+        b, l, _ = h.shape
+        k = dense(p["attn"]["w_k"], h, cdt).reshape(b, l, num_heads, -1)
+        v = dense(p["attn"]["w_v"], h, cdt).reshape(b, l, num_heads, -1)
+        mem_k.append(k)
+        mem_v.append(v)
+    return tuple(mem_k), tuple(mem_v)
+
+
+def _decoder_step(params, cfg: ReformerTTSConfig, x_t, state: DecodeState,
+                  mem_k, mem_v, memory_mask, cdt):
+    """Run one frame through the decoder stack (two-stream recurrence).
+
+    x_t: (B, D) post-prenet+posenc frame. Returns (out (B,D), new caches)."""
+    dcfg = cfg.decoder
+    num_heads = dcfg.attention.num_heads
+    layers = params["decoder"]["layers"]
+    h1 = h2 = x_t
+    qk_caches = list(state.qk_caches)
+    v_caches = list(state.v_caches)
+    ci = 0  # self-attn cache index
+    xi = 0  # cross layer index
+    for li, lp in enumerate(layers):
+        is_cross = (li % 2 == 1)
+        if not is_cross:
+            h = layer_norm(lp["f"]["ln"], h2)
+            out, qk_caches[ci], v_caches[ci] = _self_attn_step(
+                lp["f"]["attn"], h, qk_caches[ci], v_caches[ci],
+                state.t, num_heads, cdt)
+            ci += 1
+        else:
+            h = layer_norm(lp["f"]["ln"], h2)
+            out = _cross_attn_step(lp["f"]["attn"], h, mem_k[xi], mem_v[xi],
+                                   memory_mask, num_heads, cdt)
+            xi += 1
+        h1 = h1 + out
+        h2 = h2 + _ffn_step(lp["g"], h1, dcfg.ffn_activation, cdt)
+    y = (h1 + h2) * 0.5
+    y = layer_norm(params["decoder"]["final_ln"], y)
+    return y, tuple(qk_caches), tuple(v_caches)
+
+
+def _pos_table(params, cfg: ReformerTTSConfig):
+    """(max_pos, D) positional table + scalar alpha for per-step slicing."""
+    if cfg.pos_encoding == "axial":
+        p = params["dec_pos"]
+        ax1, ax2 = p["ax1"], p["ax2"]
+        d1, _, f1 = ax1.shape
+        _, d2, f2 = ax2.shape
+        table = jnp.concatenate(
+            [jnp.broadcast_to(ax1, (d1, d2, f1)),
+             jnp.broadcast_to(ax2, (d1, d2, f2))], axis=-1,
+        ).reshape(d1 * d2, f1 + f2)
+        return table, jnp.ones((), table.dtype)
+    return params["dec_pos"]["table"], params["dec_pos"]["alpha"]
+
+
+def _make_step_fn(params, cfg: ReformerTTSConfig, mem_k, mem_v, memory_mask,
+                  rng, stop_threshold, teacher_mel=None):
+    cdt = _dtype(cfg.compute_dtype)
+    pos_table, pos_alpha = _pos_table(params, cfg)
+
+    def step(state: DecodeState) -> DecodeState:
+        t = state.t
+        # prenet (always-on dropout — fresh key per step)
+        k_t = jax.random.fold_in(rng, t)
+        h = prenet_mlp(params["dec_prenet"], state.prev_frame.astype(cdt), k_t,
+                       cfg.dec_prenet_dropout, always_dropout=True,
+                       deterministic=True, compute_dtype=cdt)
+        pe = jax.lax.dynamic_slice_in_dim(pos_table, t, 1, axis=0)[0]
+        h = h + pos_alpha.astype(h.dtype) * pe.astype(h.dtype)
+        y, qk_caches, v_caches = _decoder_step(
+            params, cfg, h, state, mem_k, mem_v, memory_mask, cdt)
+        frame = dense(params["mel_head"], y, cdt).astype(jnp.float32)
+        stop_logit = dense(params["stop_head"], y, cdt)[..., 0].astype(jnp.float32)
+
+        mel = jax.lax.dynamic_update_slice_in_dim(
+            state.mel, frame[:, None], t, axis=1)
+        stop_logits = jax.lax.dynamic_update_slice_in_dim(
+            state.stop_logits, stop_logit[:, None], t, axis=1)
+        newly_done = jax.nn.sigmoid(stop_logit) > stop_threshold
+        done = state.done | newly_done
+        lengths = jnp.where(state.done, state.lengths, t + 1)
+        if teacher_mel is not None:
+            # the next step (t+1) consumes teacher frame t+1 (clamped slice
+            # is harmless on the final step)
+            next_frame = jax.lax.dynamic_slice_in_dim(
+                teacher_mel, t + 1, 1, axis=1)[:, 0]
+        else:
+            next_frame = frame
+        return DecodeState(t + 1, done, lengths, next_frame, mel,
+                           stop_logits, qk_caches, v_caches)
+
+    return step
+
+
+def _init_state(params, cfg: ReformerTTSConfig, batch: int, max_frames: int):
+    cdt = _dtype(cfg.compute_dtype)
+    a = cfg.decoder.attention
+    n_self = cfg.decoder.num_layers
+    cache_shape = (batch, max_frames, a.num_heads, a.head_dim)
+    qk = tuple(jnp.zeros(cache_shape, cdt) for _ in range(n_self))
+    v = tuple(jnp.zeros(cache_shape, cdt) for _ in range(n_self))
+    return DecodeState(
+        t=jnp.asarray(0, jnp.int32),
+        done=jnp.zeros((batch,), bool),
+        lengths=jnp.full((batch,), max_frames, jnp.int32),
+        prev_frame=jnp.zeros((batch, cfg.n_mels), jnp.float32),
+        mel=jnp.zeros((batch, max_frames, cfg.n_mels), jnp.float32),
+        stop_logits=jnp.zeros((batch, max_frames), jnp.float32),
+        qk_caches=qk,
+        v_caches=v,
+    )
+
+
+def decode_greedy(
+    params,
+    cfg: ReformerTTSConfig,
+    memory: jnp.ndarray,
+    memory_mask: jnp.ndarray,
+    max_frames: int,
+    rng: Optional[jax.Array] = None,
+    stop_threshold: Optional[float] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Greedy AR decode -> (mel_post (B,T_max,n_mels), lengths (B,), stop_logits).
+
+    Jit-compatible: call under jax.jit with static max_frames."""
+    cdt = _dtype(cfg.compute_dtype)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    if stop_threshold is None:
+        stop_threshold = cfg.stop_threshold
+    batch = memory.shape[0]
+    mem_k, mem_v = _init_mem_kv(params, cfg, memory.astype(cdt), cdt)
+    step = _make_step_fn(params, cfg, mem_k, mem_v, memory_mask, rng,
+                         stop_threshold)
+    state = _init_state(params, cfg, batch, max_frames)
+
+    def cond(s: DecodeState):
+        return (s.t < max_frames) & ~jnp.all(s.done)
+
+    state = jax.lax.while_loop(cond, step, state)
+    # postnet over the full buffer (masked by lengths downstream)
+    residual = postnet_apply(params["postnet"], cfg, state.mel.astype(cdt),
+                             None, True, cdt).astype(jnp.float32)
+    mel_post = state.mel + residual
+    frame_mask = jnp.arange(max_frames)[None, :] < state.lengths[:, None]
+    mel_post = mel_post * frame_mask[..., None]
+    return mel_post, state.lengths, state.stop_logits
+
+
+def decode_teacher_check(
+    params,
+    cfg: ReformerTTSConfig,
+    memory: jnp.ndarray,
+    memory_mask: jnp.ndarray,
+    teacher_input: jnp.ndarray,   # (B, T, n_mels) — same input decode_train sees
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run the incremental path fed with teacher frames; returns
+    (mel_pre (B,T,n_mels), stop_logits (B,T)) for parity tests against
+    decode_train (deterministic prenet dropout is disabled in both via
+    rate=0 configs in the test)."""
+    cdt = _dtype(cfg.compute_dtype)
+    b, t_total, _ = teacher_input.shape
+    mem_k, mem_v = _init_mem_kv(params, cfg, memory.astype(cdt), cdt)
+    step = _make_step_fn(params, cfg, mem_k, mem_v, memory_mask,
+                         jax.random.PRNGKey(0), 10.0,
+                         teacher_mel=teacher_input)
+    state = _init_state(params, cfg, b, t_total)
+    state = state._replace(prev_frame=teacher_input[:, 0])
+
+    def body(i, s):
+        return step(s)
+
+    state = jax.lax.fori_loop(0, t_total, body, state)
+    return state.mel, state.stop_logits

@@ -1,0 +1,77 @@
+"""End-to-end text -> wav inference API (SURVEY.md §3.1 #16, §4.3).
+
+``Synthesizer`` packages the tokenizer, encoder, jitted AR decode loop, and
+vocoder behind the reference's public inference surface: give it text,
+receive a waveform.  The decode function is compiled once per
+(batch, token_len, max_frames) bucket and cached.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtts.config import Config
+from rtts.infer.decode import decode_greedy
+from rtts.models import reformer_tts as tts_model
+from rtts.text import encode_batch
+
+
+class Synthesizer:
+    def __init__(self, cfg: Config, tts_params, vocoder_params=None,
+                 max_frames: int = 1024):
+        self.cfg = cfg
+        self.tts_params = tts_params
+        self.vocoder_params = vocoder_params
+        self.max_frames = max_frames
+        self._decode_jit = jax.jit(
+            functools.partial(self._decode, cfg.model),
+            static_argnames=("max_frames",),
+        )
+
+    @staticmethod
+    def _decode(model_cfg, params, tokens, token_mask, rng, max_frames):
+        memory = tts_model.encode(params, model_cfg, tokens, token_mask,
+                                  rng=None, deterministic=True)
+        return decode_greedy(params, model_cfg, memory, token_mask,
+                             max_frames=max_frames, rng=rng)
+
+    def text_to_mel(self, texts: Sequence[str], seed: int = 0
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+        """-> (mel (B, T_max, n_mels) float32, lengths (B,) int32)"""
+        tcfg = self.cfg.dataset.text
+        tokens, mask = encode_batch(texts, cleaner=tcfg.cleaner,
+                                    pad_to_multiple=tcfg.pad_to_multiple,
+                                    max_len=tcfg.max_len)
+        mel, lengths, _ = self._decode_jit(
+            self.tts_params, jnp.asarray(tokens), jnp.asarray(mask),
+            jax.random.PRNGKey(seed), max_frames=self.max_frames)
+        return np.asarray(mel), np.asarray(lengths)
+
+    def mel_to_audio(self, mel: np.ndarray, length: Optional[int] = None) -> np.ndarray:
+        """One utterance (T, n_mels) -> waveform. Uses the SqueezeWave
+        vocoder when params are loaded, else Griffin-Lim."""
+        if length is not None:
+            mel = mel[:length]
+        if self.vocoder_params is not None:
+            from rtts.models.squeezewave import infer as sw_infer
+
+            audio = sw_infer(self.vocoder_params, self.cfg.vocoder,
+                             jnp.asarray(mel)[None])[0]
+            return np.asarray(audio)
+        from rtts.audio.griffin import mel_to_audio as gl_mel_to_audio
+
+        return np.asarray(gl_mel_to_audio(jnp.asarray(mel), self.cfg.dataset.audio))
+
+    def __call__(self, texts: Sequence[str], seed: int = 0) -> List[np.ndarray]:
+        mel, lengths = self.text_to_mel(texts, seed)
+        return [self.mel_to_audio(mel[i], int(lengths[i])) for i in range(len(texts))]
+
+
+def synthesize(cfg: Config, tts_params, texts: Sequence[str],
+               vocoder_params=None, max_frames: int = 1024, seed: int = 0):
+    return Synthesizer(cfg, tts_params, vocoder_params, max_frames)(texts, seed)

@@ -1,0 +1,172 @@
+"""Reformer stacks: wire attention + chunked-FFN sublayers into reversible
+(f, g) residual pairs (SURVEY.md §2 L2/L3).
+
+Encoder layer  = one pair:  (f = self-attention, g = chunked FFN).
+Decoder layer  = two pairs: (f = self-attention, g = chunked FFN) then
+                            (f = cross-attention, g = chunked FFN) —
+the reversible enc-dec arrangement of the reformer lineage: every sublayer
+sits in a residual slot, so the whole decoder is reversible too.
+
+All sublayers are pre-LN.  Attention kind per config: "full" (shared-QK
+softmax fallback), "lsh" (bucketed kernel), "local" (sliding chunks).
+Sublayer f returns (out, cache); for LSH the cache is the forward hash
+buckets, re-used in the reversible backward (SURVEY.md §4.5).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rtts.attention.full import (
+    attention_init,
+    cross_attention,
+    shared_qk_self_attention,
+)
+from rtts.config import ReformerStackConfig
+from rtts.nn.layers import dropout, layer_norm, layer_norm_init
+from rtts.reversible.ffn import chunked_ffn, ffn_init
+from rtts.reversible.rev import reversible_sequence
+
+
+def _self_attention(kind: str, params, x, mask, causal, cfg: ReformerStackConfig,
+                    rng, deterministic, compute_dtype, cache):
+    a = cfg.attention
+    if kind == "full":
+        out = shared_qk_self_attention(
+            params, x, mask=mask, causal=causal,
+            num_heads=a.num_heads, compute_dtype=compute_dtype,
+        )
+        return out, None
+    if kind == "lsh":
+        from rtts.attention.lsh import lsh_self_attention
+
+        return lsh_self_attention(
+            params, x, mask=mask, causal=causal, cfg=a,
+            rng=rng, compute_dtype=compute_dtype, cache=cache,
+        )
+    if kind == "local":
+        from rtts.attention.local import local_self_attention
+
+        out = local_self_attention(
+            params, x, mask=mask, causal=causal, cfg=a,
+            compute_dtype=compute_dtype,
+        )
+        return out, None
+    raise ValueError(f"unknown attention kind {kind!r}")
+
+
+def make_stack_layer_fns(
+    cfg: ReformerStackConfig,
+    cross_attend: bool,
+    deterministic: bool,
+    compute_dtype,
+) -> List[Tuple[Any, Any]]:
+    """Build the static (f, g) callables for one stack.
+
+    aux per pair: dict(mask, memory_mask, rng_f, rng_g) — non-differentiable
+    context threaded through the reversible custom_vjp.
+    """
+    a = cfg.attention
+
+    def f_self(params, x, memory, aux, cache):
+        h = layer_norm(params["ln"], x)
+        out, new_cache = _self_attention(
+            a.kind, params["attn"], h, aux["mask"], cfg.causal, cfg,
+            aux["rng_f"], deterministic, compute_dtype, cache,
+        )
+        out = dropout(jax.random.fold_in(aux["rng_f"], 1), out, cfg.dropout,
+                      deterministic)
+        return out, new_cache
+
+    def f_cross(params, x, memory, aux, cache):
+        h = layer_norm(params["ln"], x)
+        out = cross_attention(
+            params["attn"], h, memory, memory_mask=aux["memory_mask"],
+            num_heads=a.num_heads, compute_dtype=compute_dtype,
+        )
+        out = dropout(jax.random.fold_in(aux["rng_f"], 1), out, cfg.dropout,
+                      deterministic)
+        return out, None
+
+    def g_ffn(params, y, memory, aux):
+        out = chunked_ffn(params, y, cfg.ffn_chunk_size, cfg.ffn_activation,
+                          compute_dtype)
+        return dropout(aux["rng_g"], out, cfg.dropout, deterministic)
+
+    pairs: List[Tuple[Any, Any]] = []
+    for _ in range(cfg.num_layers):
+        pairs.append((f_self, g_ffn))
+        if cross_attend:
+            pairs.append((f_cross, g_ffn))
+    return pairs
+
+
+def stack_init(key, cfg: ReformerStackConfig, cross_attend: bool,
+               dtype=jnp.float32) -> Dict[str, Any]:
+    a = cfg.attention
+    layers = []
+    n_pairs_per_layer = 2 if cross_attend else 1
+    keys = jax.random.split(key, cfg.num_layers * n_pairs_per_layer * 2 + 1)
+    ki = 0
+    for _ in range(cfg.num_layers):
+        # self-attention pair
+        layers.append({
+            "f": {
+                "ln": layer_norm_init(cfg.d_model, dtype),
+                "attn": attention_init(keys[ki], cfg.d_model, a.num_heads,
+                                       a.head_dim, shared_qk=True, dtype=dtype),
+            },
+            "g": ffn_init(keys[ki + 1], cfg.d_model, cfg.d_ff, dtype),
+        })
+        ki += 2
+        if cross_attend:
+            layers.append({
+                "f": {
+                    "ln": layer_norm_init(cfg.d_model, dtype),
+                    "attn": attention_init(keys[ki], cfg.d_model, a.num_heads,
+                                           a.head_dim, shared_qk=False, dtype=dtype),
+                },
+                "g": ffn_init(keys[ki + 1], cfg.d_model, cfg.d_ff, dtype),
+            })
+            ki += 2
+    return {
+        "layers": layers,
+        "final_ln": layer_norm_init(cfg.d_model, dtype),
+    }
+
+
+def stack_apply(
+    params,
+    cfg: ReformerStackConfig,
+    x: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    memory: Optional[jnp.ndarray] = None,
+    memory_mask: Optional[jnp.ndarray] = None,
+    rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """Run the stack on x: (B, L, D) -> (B, L, D)."""
+    cross_attend = memory is not None
+    layer_fns = make_stack_layer_fns(cfg, cross_attend, deterministic, compute_dtype)
+    n = len(layer_fns)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    layer_keys = jax.random.split(rng, n * 2)
+    aux_list = [
+        {
+            "mask": mask,
+            "memory_mask": memory_mask,
+            "rng_f": layer_keys[2 * i],
+            "rng_g": layer_keys[2 * i + 1],
+        }
+        for i in range(n)
+    ]
+    y = reversible_sequence(
+        layer_fns, params["layers"], x, memory, aux_list,
+        reversible=cfg.reversible,
+    )
+    return layer_norm(params["final_ln"], y)

@@ -3,7 +3,10 @@
 SURVEY.md §5.3 item 6: distributed-without-a-cluster via
 ``xla_force_host_platform_device_count`` — pjit/shard_map tests assert
 sharding and numerical equality against single-device runs, all on CPU.
-These env vars must be set before jax initializes, hence module import time.
+
+Note: this environment's axon site-hook pins JAX_PLATFORMS=axon (the real
+TPU), so the env var alone is not enough — we must also set the config flag
+before any backend initialization.
 """
 
 import os
@@ -15,6 +18,7 @@ os.environ["XLA_FLAGS"] = (
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402
