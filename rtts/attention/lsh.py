@@ -1,0 +1,245 @@
+"""LSH-bucketed self-attention: hash -> stable sort -> chunked local attend
+-> unsort -> multi-round combine (SURVEY.md §3.2, the verified build spec).
+
+This is the readable jnp reference implementation (test oracle).  The fused
+Pallas kernel in ``rtts/ops/lsh_attention.py`` implements the chunk-attend
+stage; both share this module's hashing/sorting/masking semantics and are
+cross-checked in tests.
+
+Algorithm (parity contract, verified against the HF Reformer implementation
+of the same algorithms the reference imports via reformer_pytorch):
+
+- shared-QK: one projection supplies queries and keys; keys L2-normalized
+  then scaled 1/sqrt(d).
+- multi-round hashing: per-head random rotations (H, d, n_hashes, nb/2);
+  bucket = argmax([xR; -xR]); hashing on stop_gradient'd vectors; optional
+  fixed ``hash_seed`` for determinism; padding tokens forced into an extra
+  bucket so they sort to the end; per-round offsets so rounds don't collide.
+- num_buckets auto-set: 2 * L / chunk rounded up to a power of two.
+- stable sort realized as argsort of (bucket * L + position) — unique keys,
+  so order within a bucket is by original position.
+- chunked attend: sorted q/k/v reshaped to chunks of ``chunk_length``;
+  ``num_chunks_before/after`` neighbor chunks concatenated by roll.
+- masking by ORIGINAL positions (pad -1e9, causal -1e9, self -1e5) so it
+  survives the permutation.
+- per-chunk logsumexp-stable softmax; rounds combined by softmax over each
+  round's query logsumexp.
+- unsort = gather by inverse permutation (TPU-friendly: no scatter).
+- bucket cache: forward returns the buckets; the reversible backward passes
+  them back in to skip re-hashing (bit-identical recompute).
+
+Complexity: O(L * n_hashes * chunk * (1 + before + after)) vs O(L^2).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rtts.attention.full import (
+    MASK_VALUE,
+    SELF_MASK_VALUE,
+    _len_norm,
+    _merge_heads,
+    _split_heads,
+    shared_qk_self_attention,
+)
+from rtts.config import AttentionConfig
+from rtts.nn.layers import dense
+
+
+class LshCache(NamedTuple):
+    buckets: jnp.ndarray  # (B, H, n_hashes, L) int32
+
+
+def auto_num_buckets(seq_len: int, chunk_length: int) -> int:
+    """2 * L / chunk rounded up to a power of two (reference auto rule)."""
+    raw = max(2, 2 * seq_len // max(chunk_length, 1))
+    return 1 << (raw - 1).bit_length()
+
+
+def hash_vectors(
+    vecs: jnp.ndarray,          # (B, H, L, d) — will be stop_gradient'd
+    num_buckets: int,
+    n_hashes: int,
+    rng: jax.Array,
+    mask: Optional[jnp.ndarray],  # (B, L) bool or None
+) -> jnp.ndarray:
+    """Random-rotation LSH -> buckets (B, H, n_hashes, L) in [0, nb] where
+    bucket nb is the overflow bucket for padding tokens."""
+    b, h, l, d = vecs.shape
+    assert num_buckets % 2 == 0, "num_buckets must be even"
+    rot = jax.random.normal(rng, (h, d, n_hashes, num_buckets // 2),
+                            dtype=jnp.float32)
+    x = jax.lax.stop_gradient(vecs).astype(jnp.float32)
+    rotated = jnp.einsum("bhld,hdnr->bhnlr", x, rot)
+    rotated = jnp.concatenate([rotated, -rotated], axis=-1)
+    buckets = jnp.argmax(rotated, axis=-1).astype(jnp.int32)  # (B,H,nh,L)
+    if mask is not None:
+        buckets = jnp.where(mask[:, None, None, :], buckets, num_buckets)
+    return buckets
+
+
+def _sort_by_bucket(buckets: jnp.ndarray
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """buckets (B,H,nh,L) -> (sorted_pos, undo_idx), both (B,H,nh,L).
+
+    Per round: argsort of the unique key ``bucket * L + position`` — this IS
+    the stable sort (ties broken by original position, reference semantics).
+    sorted_pos[..., s] = original position of sorted slot s; undo_idx is the
+    inverse permutation (unsort is a gather by it — no scatter on TPU).
+    """
+    l = buckets.shape[-1]
+    pos = jnp.arange(l, dtype=jnp.int32)
+    keys = buckets * l + pos[None, None, None, :]
+    sorted_pos = jnp.argsort(keys, axis=-1).astype(jnp.int32)
+    undo_idx = jnp.argsort(sorted_pos, axis=-1).astype(jnp.int32)
+    return sorted_pos, undo_idx
+
+
+def _look_adjacent(x: jnp.ndarray, before: int, after: int) -> jnp.ndarray:
+    """(..., nc, c, ...) -> concat of rolled chunk neighbors on the c axis.
+
+    Chunk i sees chunks [i-before, ..., i, ..., i+after] (wrapping — the
+    wrap is masked out later via positions/validity)."""
+    if before == 0 and after == 0:
+        return x
+    # chunk i of roll(x, shift=-off) is original chunk i+off; order the key
+    # axis as [i-before, ..., i, ..., i+after]
+    slices = [jnp.roll(x, shift=-off, axis=-3) for off in range(-before, after + 1)]
+    return jnp.concatenate(slices, axis=-2)
+
+
+def lsh_attend_chunks(
+    q: jnp.ndarray,        # (B,H,nc,c,d) sorted queries
+    k: jnp.ndarray,        # (B,H,nc,c,d) sorted normalized keys
+    v: jnp.ndarray,        # (B,H,nc,c,d) sorted values
+    q_pos: jnp.ndarray,    # (B,H,nc,c) original positions
+    k_valid: jnp.ndarray,  # (B,H,nc,c) key validity (pad mask)
+    causal: bool,
+    before: int,
+    after: int,
+    mask_value: float = MASK_VALUE,
+    self_mask_value: float = SELF_MASK_VALUE,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-chunk attend with neighbor lookback.
+    Returns (out (B,H,nc,c,d), logsumexp (B,H,nc,c))."""
+    k_adj = _look_adjacent(k, before, after)
+    v_adj = _look_adjacent(v, before, after)
+    k_pos = _look_adjacent(q_pos[..., None], before, after)[..., 0]
+    k_val = _look_adjacent(k_valid[..., None], before, after)[..., 0]
+
+    scores = jnp.einsum("bhnqd,bhnkd->bhnqk", q, k_adj).astype(jnp.float32)
+    scores = jnp.where(k_val[..., None, :], scores, mask_value)
+    if causal:
+        scores = jnp.where(
+            q_pos[..., :, None] >= k_pos[..., None, :], scores, mask_value)
+    scores = jnp.where(
+        q_pos[..., :, None] == k_pos[..., None, :], self_mask_value, scores)
+
+    lse = jax.nn.logsumexp(scores, axis=-1)                      # (B,H,nc,c)
+    probs = jnp.exp(scores - lse[..., None])
+    out = jnp.einsum("bhnqk,bhnkd->bhnqd", probs.astype(v_adj.dtype), v_adj)
+    return out, lse
+
+
+def lsh_attention_core(
+    qk: jnp.ndarray,       # (B, H, L, d)
+    v: jnp.ndarray,        # (B, H, L, d)
+    cfg: AttentionConfig,
+    mask: Optional[jnp.ndarray],   # (B, L) bool
+    causal: bool,
+    rng: jax.Array,
+    buckets: Optional[jnp.ndarray] = None,   # cached (B,H,nh,L)
+    attend_fn=lsh_attend_chunks,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full LSH pipeline on projected heads. Returns (out (B,H,L,d), buckets).
+
+    ``attend_fn`` is the chunk-attend stage — swapped for the Pallas kernel
+    in the fused path; everything else (hash/sort/unsort/combine) is shared.
+    """
+    b, h, l, d = qk.shape
+    c = cfg.chunk_length
+    nh = cfg.num_hashes
+    if l % c != 0:
+        raise ValueError(f"seq len {l} not a multiple of chunk {c} (autopad upstream)")
+    nb = cfg.num_buckets or auto_num_buckets(l, c)
+
+    if buckets is None:
+        buckets = hash_vectors(qk, nb, nh, rng, mask)            # (B,H,nh,L)
+
+    sorted_pos, undo_idx = _sort_by_bucket(buckets)              # (B,H,nh,L)
+
+    # gather q/k/v into per-round sorted order: (B,H,nh,L,d)
+    def round_gather(x):
+        xb = jnp.broadcast_to(x[:, :, None], (b, h, nh, l, d))
+        return jnp.take_along_axis(xb, sorted_pos[..., None], axis=3)
+
+    qk_s = round_gather(qk)
+    v_s = round_gather(v)
+    if mask is not None:
+        mb = jnp.broadcast_to(mask[:, None, None, :], (b, h, nh, l))
+        valid_s = jnp.take_along_axis(mb, sorted_pos, axis=3)
+    else:
+        valid_s = jnp.ones((b, h, nh, l), bool)
+
+    # chunk the concatenated-rounds axis; L % c == 0 keeps rounds chunk-aligned
+    nc = nh * l // c
+    q_c = qk_s.reshape(b, h, nc, c, d)
+    k_c = (_len_norm(qk_s) * (d ** -0.5)).reshape(b, h, nc, c, d)
+    v_c = v_s.reshape(b, h, nc, c, d)
+    pos_c = sorted_pos.reshape(b, h, nc, c)
+    val_c = valid_s.reshape(b, h, nc, c)
+
+    out_c, lse_c = attend_fn(q_c, k_c, v_c, pos_c, val_c, causal,
+                             cfg.num_chunks_before, cfg.num_chunks_after,
+                             cfg.mask_value, cfg.self_mask_value)
+
+    # unsort per round (gather by inverse permutation — no scatter)
+    out_flat = out_c.reshape(b, h, nh, l, d)
+    lse_flat = lse_c.reshape(b, h, nh, l)
+    undo = undo_idx  # (B,H,nh,L) within-round inverse
+    out_r = jnp.take_along_axis(out_flat, undo[..., None], axis=3)
+    lse_r = jnp.take_along_axis(lse_flat, undo, axis=3)
+
+    # multi-round combine: softmax over rounds of each query's logsumexp
+    if nh == 1:
+        return out_r[:, :, 0], buckets
+    w = jax.nn.softmax(lse_r, axis=2)                            # (B,H,nh,L)
+    out = jnp.einsum("bhnl,bhnld->bhld", w.astype(out_r.dtype), out_r)
+    return out, buckets
+
+
+def lsh_self_attention(
+    params,
+    x: jnp.ndarray,               # (B, L, D)
+    mask: Optional[jnp.ndarray],  # (B, L) bool
+    causal: bool,
+    cfg: AttentionConfig,
+    rng: Optional[jax.Array],
+    compute_dtype=None,
+    cache: Optional[LshCache] = None,
+) -> Tuple[jnp.ndarray, LshCache]:
+    """Reformer LSH self-attention sublayer. Returns (out (B,L,D), cache)."""
+    l = x.shape[1]
+    if l <= cfg.chunk_length:
+        # reference fallback: full softmax attention for short sequences
+        out = shared_qk_self_attention(params, x, mask=mask, causal=causal,
+                                       num_heads=cfg.num_heads,
+                                       compute_dtype=compute_dtype)
+        return out, LshCache(buckets=jnp.zeros((0,), jnp.int32))
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    if cfg.hash_seed is not None:
+        rng = jax.random.PRNGKey(cfg.hash_seed)
+
+    qk = _split_heads(dense(params["w_qk"], x, compute_dtype), cfg.num_heads)
+    v = _split_heads(dense(params["w_v"], x, compute_dtype), cfg.num_heads)
+    buckets = cache.buckets if cache is not None else None
+    out, buckets = lsh_attention_core(qk, v, cfg, mask, causal, rng, buckets)
+    out = dense(params["w_o"], _merge_heads(out), compute_dtype)
+    return out, LshCache(buckets=buckets)
