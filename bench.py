@@ -1,0 +1,26 @@
+#!/usr/bin/env python
+"""Driver benchmark entry: prints ONE JSON line
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Headline metric: end-to-end text->wav real-time factor per chip (target
+< 0.05 per BASELINE.json); vs_baseline = target / measured (>1 = beating
+the target).  Runs on whatever device jax selects (TPU under axon)."""
+
+import json
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+
+
+def main():
+    from rtts.bench import base_bench_config, run_bench
+
+    line = run_bench(base_bench_config(), which="e2e")
+    # the driver expects exactly one JSON line on stdout
+    d = json.loads(line)
+    d.pop("detail", None)
+    print(json.dumps(d))
+
+
+if __name__ == "__main__":
+    main()

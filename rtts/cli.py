@@ -1,0 +1,167 @@
+"""CLI (SURVEY.md §3.1 #1): a click command group with a global config
+option and one verb per pipeline stage, mirroring the reference's surface:
+
+    python -m rtts.cli [-c CONFIG.yaml] [-o key.path=value ...] VERB
+
+Verbs: download, generate-corpus, preprocess, train-tts, train-vocoder,
+predict, bench.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+
+import click
+
+from rtts.config import Config, load_config
+
+
+@click.group()
+@click.option("-c", "--config", "config_path", type=click.Path(exists=True),
+              default=None, help="YAML config file")
+@click.option("-o", "--override", "overrides", multiple=True,
+              help="dot-path override, e.g. model.d_model=256")
+@click.option("--platform", default=None,
+              type=click.Choice(["cpu", "tpu", "axon"]),
+              help="force a jax platform (default: environment's, i.e. TPU)")
+@click.pass_context
+def cli(ctx, config_path, overrides, platform):
+    """rtts — TPU-native Reformer-TTS."""
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+    ctx.obj = load_config(config_path, list(overrides))
+
+
+@cli.command()
+@click.option("--index-url", required=True, help="transcript index URL")
+@click.option("--out", "out_dir", default=None)
+@click.pass_obj
+def download(cfg: Config, index_url, out_dir):
+    """Scrape transcripts + media (requires network)."""
+    from rtts.data.download import download_corpus
+
+    out = out_dir or cfg.dataset.data_dir
+    path = download_corpus(index_url, out)
+    click.echo(f"wrote {path}")
+
+
+@cli.command("generate-corpus")
+@click.option("--out", "out_dir", default=None)
+@click.option("-n", "--num-utterances", default=24)
+@click.pass_obj
+def generate_corpus_cmd(cfg: Config, out_dir, num_utterances):
+    """Generate the synthetic speech-like corpus (offline stand-in)."""
+    from rtts.data.corpus import generate_corpus
+
+    out = out_dir or cfg.dataset.data_dir
+    utts = generate_corpus(out, num_utterances, cfg.dataset.audio.sample_rate)
+    click.echo(f"generated {len(utts)} utterances under {out}")
+
+
+@cli.command()
+@click.option("--transcripts", default=None,
+              help="path to transcripts.txt (default: <data_dir>/transcripts.txt)")
+@click.pass_obj
+def preprocess(cfg: Config, transcripts):
+    """wav + transcripts -> per-clip token/mel arrays + manifest."""
+    from rtts.data.preprocess import preprocess_corpus
+
+    tpath = transcripts or str(pathlib.Path(cfg.dataset.data_dir) / "transcripts.txt")
+    mpath = preprocess_corpus(cfg.dataset, tpath)
+    click.echo(f"wrote manifest {mpath}")
+
+
+@cli.command("train-tts")
+@click.option("--workdir", default="runs/tts")
+@click.option("--max-steps", default=None, type=int)
+@click.pass_obj
+def train_tts_cmd(cfg: Config, workdir, max_steps):
+    """Train the ReformerTTS acoustic model."""
+    from rtts.train.train_tts import train_tts
+
+    metrics = train_tts(cfg, workdir, max_steps)
+    click.echo(f"done: {metrics}")
+
+
+@cli.command("train-vocoder")
+@click.option("--workdir", default="runs/vocoder")
+@click.option("--max-steps", default=None, type=int)
+@click.pass_obj
+def train_vocoder_cmd(cfg: Config, workdir, max_steps):
+    """Train the SqueezeWave vocoder."""
+    from rtts.train.train_vocoder import train_vocoder
+
+    metrics = train_vocoder(cfg, workdir, max_steps)
+    click.echo(f"done: {metrics}")
+
+
+@cli.command()
+@click.option("--text", required=True, multiple=True,
+              help="text to synthesize (repeatable)")
+@click.option("--tts-ckpt", default=None, help="TTS checkpoint dir")
+@click.option("--vocoder-ckpt", default=None, help="vocoder checkpoint dir")
+@click.option("--out", "out_dir", default="synth_out")
+@click.option("--max-frames", default=1024)
+@click.option("--seed", default=0)
+@click.pass_obj
+def predict(cfg: Config, text, tts_ckpt, vocoder_ckpt, out_dir, max_frames, seed):
+    """Text -> wav using trained checkpoints (Griffin-Lim if no vocoder)."""
+    import dataclasses
+
+    import jax
+
+    from rtts.audio.wav import write_wav
+    from rtts.infer.synthesize import Synthesizer
+    from rtts.models import reformer_tts as M
+    from rtts.models import squeezewave as SW
+    from rtts.text import vocab_size
+    from rtts.train.checkpoint import latest_checkpoint, restore_checkpoint
+
+    model_cfg = cfg.model
+    if model_cfg.vocab_size <= 0:
+        model_cfg = dataclasses.replace(model_cfg, vocab_size=vocab_size())
+    params = M.init(jax.random.PRNGKey(0), model_cfg)
+    if tts_ckpt:
+        path = latest_checkpoint(tts_ckpt) or tts_ckpt
+        restored, step = restore_checkpoint(path, {"params": params})
+        params = restored["params"]
+        click.echo(f"loaded TTS step {step} from {path}")
+    voc_params = None
+    if vocoder_ckpt:
+        vp = SW.init(jax.random.PRNGKey(0), cfg.vocoder)
+        path = latest_checkpoint(vocoder_ckpt) or vocoder_ckpt
+        restored, step = restore_checkpoint(path, {"params": vp})
+        voc_params = SW.fold_weightnorm(restored["params"])
+        click.echo(f"loaded vocoder step {step} from {path}")
+
+    cfg2 = dataclasses.replace(cfg, model=model_cfg)
+    syn = Synthesizer(cfg2, params, voc_params, max_frames=max_frames)
+    wavs = syn(list(text), seed=seed)
+    out = pathlib.Path(out_dir)
+    for i, w in enumerate(wavs):
+        p = out / f"sample_{i}.wav"
+        write_wav(p, w, cfg.dataset.audio.sample_rate)
+        click.echo(f"wrote {p} ({len(w)} samples)")
+
+
+@cli.command()
+@click.option("--which", default="decode",
+              type=click.Choice(["decode", "e2e", "vocoder", "train"]))
+@click.pass_obj
+def bench(cfg: Config, which):
+    """Run the benchmark harness and print a JSON line."""
+    from rtts.bench import run_bench
+
+    result = run_bench(cfg, which)
+    click.echo(result)
+
+
+def main():
+    cli(obj=None)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,287 @@
+"""SqueezeWave: a lightweight WaveGlow-lineage normalizing-flow vocoder
+(SURVEY.md §3.1 #11-13, SqueezeWave paper arXiv:2004.05685).
+
+mel -> waveform by running affine-coupling flows in reverse on Gaussian
+noise.  The audio is squeezed into ``n_group`` channels (time axis shrinks
+by n_group), so every conv operates on a short-and-wide tensor — on TPU
+that means the 1x1 convs and pointwise stages are plain MXU matmuls and the
+depthwise stages are cheap VPU work.
+
+Structure (training direction, audio -> z):
+  squeeze audio (B, T) -> (B, L, n_group), L = T / n_group
+  for k in range(n_flows):
+      every n_early_every flows (k>0): emit n_early_size channels to z
+      Invertible1x1Conv (c x c weight; log|det| into the loss)
+      affine coupling: split channels [a0 | a1];
+          (log_s, t) = WN(a0, mel_cond);  a1 <- a1 * exp(log_s) + t
+  WN: pointwise in-conv -> wn_layers x [depthwise conv (separable) +
+      gated tanh units conditioned on upsampled mel + residual/skip] ->
+      zero-initialized end conv -> (log_s, t)
+
+Inference inverts every step algebraically (W^-1 precomputed at fold time —
+never inverted on-device per step, SURVEY.md §8 hard-part 6).
+
+Weight normalization: WN convs parametrize w = g * v / ||v|| (matching the
+reference's weight_norm training); ``fold_weightnorm`` bakes it into plain
+weights for inference (the reference's remove_weightnorm / convert_model).
+
+Design deviations from the torch lineage, for TPU idiom (documented per the
+build contract):
+- NTC layout everywhere ((batch, length, channels)).
+- mel conditioning upsampled by frame repetition (hop / n_group per frame)
+  + a pointwise conv, instead of a large ConvTranspose1d: identical
+  modeling capacity at these ratios, no strided-transpose tiling problem.
+- one conditioning projection per flow computing all wn_layers' gates at
+  once (one big MXU matmul instead of n_layers small ones).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rtts.config import SqueezeWaveConfig
+from rtts.nn.conv import conv1d, conv1d_init
+
+
+def _dtype(name: str):
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
+
+
+# ---------------------------------------------------------------------------
+# weight norm
+# ---------------------------------------------------------------------------
+
+
+def wn_param(key, d_in: int, d_out: int, kernel: int, groups: int = 1,
+             dtype=jnp.float32) -> Dict[str, Any]:
+    """Weight-normalized conv params: {v, g, b}; w = g * v / ||v||."""
+    p = conv1d_init(key, d_in, d_out, kernel, groups=groups, dtype=dtype)
+    v = p["w"]
+    norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1), keepdims=True) + 1e-12)
+    return {"v": v, "g": norm[0, 0], "b": p["b"]}
+
+
+def _wn_weight(p: Dict[str, Any]) -> jnp.ndarray:
+    v = p["v"]
+    norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1), keepdims=True) + 1e-12)
+    return p["g"][None, None, :] * v / norm
+
+
+def wn_conv(p, x, groups: int = 1, compute_dtype=None, folded: bool = False):
+    # auto-detect folded params ({"w"}) vs weight-normed ({"v","g"})
+    w = p["w"] if "w" in p else _wn_weight(p)
+    return conv1d({"w": w, "b": p["b"]}, x, padding="SAME", groups=groups,
+                  compute_dtype=compute_dtype)
+
+
+def fold_weightnorm(params) -> Any:
+    """Bake w = g*v/||v|| into plain weights and precompute 1x1 inverses —
+    the inference-time checkpoint transform (reference convert_model)."""
+
+    def fold(p):
+        if isinstance(p, dict):
+            if "v" in p and "g" in p:
+                return {"w": _wn_weight(p), "b": p["b"]}
+            if "w_1x1" in p:
+                w = p["w_1x1"]
+                inv = jnp.linalg.inv(w.astype(jnp.float32)).astype(w.dtype)
+                return {"w_1x1": w, "w_1x1_inv": inv}
+            return {k: fold(v) for k, v in p.items()}
+        if isinstance(p, list):
+            return [fold(v) for v in p]
+        return p
+
+    return fold(params)
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def _channel_schedule(cfg: SqueezeWaveConfig) -> List[Tuple[int, bool]]:
+    """Per-flow (n_remaining_channels, emit_early_before_this_flow)."""
+    n_rem = cfg.n_group
+    sched = []
+    for k in range(cfg.n_flows):
+        early = k % cfg.n_early_every == 0 and k > 0
+        if early:
+            n_rem -= cfg.n_early_size
+        sched.append((n_rem, early))
+    return sched
+
+
+def init(key: jax.Array, cfg: SqueezeWaveConfig) -> Dict[str, Any]:
+    pdtype = _dtype(cfg.param_dtype)
+    flows = []
+    ks = jax.random.split(key, cfg.n_flows + 1)
+    for k, (n_rem, _) in enumerate(_channel_schedule(cfg)):
+        n_half = n_rem // 2
+        fk = jax.random.split(ks[k], 3 + cfg.wn_layers * 3)
+        # random orthogonal init for the invertible 1x1 (det = +/-1)
+        w0 = jax.random.normal(fk[0], (n_rem, n_rem), jnp.float32)
+        q, _ = jnp.linalg.qr(w0)
+        # ensure det +1 so log|det| starts at 0 from a rotation
+        q = q * jnp.sign(jnp.linalg.det(q))
+        wn = {
+            "in": wn_param(fk[1], n_half, cfg.wn_channels, 1, dtype=pdtype),
+            "cond": wn_param(fk[2], cfg.n_mels, 2 * cfg.wn_channels * cfg.wn_layers,
+                             1, dtype=pdtype),
+            "depth": [wn_param(fk[3 + 3 * i], cfg.wn_channels, cfg.wn_channels,
+                               cfg.wn_kernel_size, groups=cfg.wn_channels,
+                               dtype=pdtype)
+                      for i in range(cfg.wn_layers)],
+            "point": [wn_param(fk[4 + 3 * i], cfg.wn_channels, 2 * cfg.wn_channels,
+                               1, dtype=pdtype)
+                      for i in range(cfg.wn_layers)],
+            "res_skip": [wn_param(fk[5 + 3 * i], cfg.wn_channels,
+                                  cfg.wn_channels, 1, dtype=pdtype)
+                         for i in range(cfg.wn_layers)],
+            # zero-init end conv => flows start as identity (stable training)
+            "end": {"w": jnp.zeros((1, cfg.wn_channels, 2 * n_half), pdtype),
+                    "b": jnp.zeros((2 * n_half,), pdtype)},
+        }
+        flows.append({"inv1x1": {"w_1x1": q.astype(pdtype)}, "wn": wn})
+    return {"flows": flows}
+
+
+# ---------------------------------------------------------------------------
+# pieces
+# ---------------------------------------------------------------------------
+
+
+def squeeze_audio(audio: jnp.ndarray, n_group: int) -> jnp.ndarray:
+    """(B, T) -> (B, L, n_group)"""
+    b, t = audio.shape
+    if t % n_group != 0:
+        raise ValueError(f"audio length {t} not divisible by n_group {n_group}")
+    return audio.reshape(b, t // n_group, n_group)
+
+
+def unsqueeze_audio(x: jnp.ndarray) -> jnp.ndarray:
+    b, l, g = x.shape
+    return x.reshape(b, l * g)
+
+
+def upsample_mel(mel: jnp.ndarray, target_len: int) -> jnp.ndarray:
+    """(B, M, n_mels) -> (B, target_len, n_mels) by frame repetition."""
+    b, m, c = mel.shape
+    if target_len % m != 0:
+        raise ValueError(f"squeezed length {target_len} not a multiple of mel frames {m}")
+    r = target_len // m
+    return jnp.repeat(mel, r, axis=1)
+
+
+def wn_apply(wn, audio_half: jnp.ndarray, mel_up: jnp.ndarray,
+             n_layers: int, wn_channels: int, compute_dtype=None,
+             folded: bool = False) -> jnp.ndarray:
+    """(B, L, n_half), (B, L, n_mels) -> (B, L, 2*n_half) = [log_s | t]."""
+    h = wn_conv(wn["in"], audio_half, compute_dtype=compute_dtype, folded=folded)
+    cond_all = wn_conv(wn["cond"], mel_up, compute_dtype=compute_dtype, folded=folded)
+    skip_total = None
+    for i in range(n_layers):
+        d = wn_conv(wn["depth"][i], h, groups=wn_channels,
+                    compute_dtype=compute_dtype, folded=folded)
+        a = wn_conv(wn["point"][i], d, compute_dtype=compute_dtype, folded=folded)
+        cond = jax.lax.dynamic_slice_in_dim(
+            cond_all, i * 2 * wn_channels, 2 * wn_channels, axis=-1)
+        a = a + cond
+        t_act = jnp.tanh(a[..., :wn_channels])
+        s_act = jax.nn.sigmoid(a[..., wn_channels:])
+        acts = t_act * s_act
+        rs = wn_conv(wn["res_skip"][i], acts, compute_dtype=compute_dtype,
+                     folded=folded)
+        if i < n_layers - 1:
+            h = h + rs
+        skip_total = rs if skip_total is None else skip_total + rs
+    return conv1d(wn["end"], skip_total, padding="SAME",
+                  compute_dtype=compute_dtype)
+
+
+# ---------------------------------------------------------------------------
+# forward (training direction: audio -> z) and inverse (inference)
+# ---------------------------------------------------------------------------
+
+
+def forward(params, cfg: SqueezeWaveConfig, mel: jnp.ndarray,
+            audio: jnp.ndarray, compute_dtype=None
+            ) -> Tuple[jnp.ndarray, List[jnp.ndarray], List[jnp.ndarray]]:
+    """mel (B, M, n_mels), audio (B, T) -> (z (B,L,n_group), log_s_list,
+    log_det_w_list).  T must equal M * hop_length."""
+    cdt = compute_dtype or _dtype(cfg.compute_dtype)
+    x = squeeze_audio(audio, cfg.n_group).astype(jnp.float32)
+    b, l, _ = x.shape
+    mel_up = upsample_mel(mel, l).astype(cdt)
+
+    z_out: List[jnp.ndarray] = []
+    log_s_list: List[jnp.ndarray] = []
+    log_det_list: List[jnp.ndarray] = []
+    for k, (n_rem, early) in enumerate(_channel_schedule(cfg)):
+        if early:
+            z_out.append(x[..., : cfg.n_early_size])
+            x = x[..., cfg.n_early_size:]
+        fp = params["flows"][k]
+        w = fp["inv1x1"]["w_1x1"].astype(jnp.float32)
+        x = x @ w                                    # (B, L, c) @ (c, c)
+        _, logdet = jnp.linalg.slogdet(w)
+        log_det_list.append(l * logdet)
+        n_half = n_rem // 2
+        a0, a1 = x[..., :n_half], x[..., n_half:]
+        st = wn_apply(fp["wn"], a0.astype(cdt), mel_up, cfg.wn_layers,
+                      cfg.wn_channels, cdt).astype(jnp.float32)
+        log_s, t = st[..., :n_half], st[..., n_half:]
+        a1 = a1 * jnp.exp(log_s) + t
+        log_s_list.append(log_s)
+        x = jnp.concatenate([a0, a1], axis=-1)
+    z_out.append(x)
+    return jnp.concatenate(z_out, axis=-1), log_s_list, log_det_list
+
+
+def infer(params, cfg: SqueezeWaveConfig, mel: jnp.ndarray,
+          sigma: Optional[float] = None, rng: Optional[jax.Array] = None,
+          folded: bool = False, compute_dtype=None) -> jnp.ndarray:
+    """mel (B, M, n_mels) -> audio (B, M * hop_length). Runs flows in
+    reverse on z ~ N(0, sigma^2)."""
+    cdt = compute_dtype or _dtype(cfg.compute_dtype)
+    if sigma is None:
+        sigma = cfg.sigma
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    b, m, _ = mel.shape
+    t_samples = m * cfg.hop_length
+    l = t_samples // cfg.n_group
+    mel_up = upsample_mel(mel, l).astype(cdt)
+
+    sched = _channel_schedule(cfg)
+    n_final = sched[-1][0]
+    z = jax.random.normal(rng, (b, l, cfg.n_group), jnp.float32) * sigma
+    # channel bookkeeping: the tail of z is the final x; early chunks were
+    # emitted (in forward order) from the front
+    n_early_total = cfg.n_group - n_final
+    x = z[..., n_early_total:]
+    early_chunks = [
+        z[..., i * cfg.n_early_size:(i + 1) * cfg.n_early_size]
+        for i in range(n_early_total // cfg.n_early_size)
+    ]
+
+    for k in range(cfg.n_flows - 1, -1, -1):
+        n_rem, early = sched[k]
+        fp = params["flows"][k]
+        n_half = n_rem // 2
+        a0, a1 = x[..., :n_half], x[..., n_half:]
+        st = wn_apply(fp["wn"], a0.astype(cdt), mel_up, cfg.wn_layers,
+                      cfg.wn_channels, cdt, folded=folded).astype(jnp.float32)
+        log_s, t = st[..., :n_half], st[..., n_half:]
+        a1 = (a1 - t) * jnp.exp(-log_s)
+        x = jnp.concatenate([a0, a1], axis=-1)
+        if "w_1x1_inv" in fp["inv1x1"]:
+            w_inv = fp["inv1x1"]["w_1x1_inv"].astype(jnp.float32)
+        else:
+            w_inv = jnp.linalg.inv(fp["inv1x1"]["w_1x1"].astype(jnp.float32))
+        x = x @ w_inv
+        if early:
+            x = jnp.concatenate([early_chunks.pop(), x], axis=-1)
+    return unsqueeze_audio(x)

@@ -43,7 +43,7 @@ def make_mesh(
     n = len(devices)
     mp = max(1, cfg.model_parallel)
     dp = cfg.data_parallel if cfg.data_parallel > 0 else n // mp
-    if dp * mp != n:
-        raise ValueError(f"mesh {dp}x{mp} != {n} devices")
-    grid = np.asarray(devices).reshape(dp, mp)
+    if dp * mp > n:
+        raise ValueError(f"mesh {dp}x{mp} needs {dp * mp} devices, have {n}")
+    grid = np.asarray(devices[: dp * mp]).reshape(dp, mp)
     return Mesh(grid, (cfg.data_axis, cfg.model_axis))

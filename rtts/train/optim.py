@@ -1,0 +1,49 @@
+"""Optimizer + LR schedule factory (SURVEY.md §3.1 #14: Adam with a
+Noam/warmup schedule and gradient clipping)."""
+
+from __future__ import annotations
+
+import optax
+
+from rtts.config import OptimConfig
+
+
+def make_schedule(cfg: OptimConfig):
+    if cfg.schedule == "constant":
+        return cfg.learning_rate
+    if cfg.schedule == "noam":
+        # linear warmup to peak lr, then inverse-sqrt decay (Noam shape)
+        warmup = optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps)
+        return optax.join_schedules([warmup, _inv_sqrt(cfg)],
+                                    [cfg.warmup_steps])
+    if cfg.schedule == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            0.0, cfg.learning_rate, cfg.warmup_steps, cfg.total_steps)
+    raise ValueError(f"unknown schedule {cfg.schedule!r}")
+
+
+def _inv_sqrt(cfg: OptimConfig):
+    def sched(step):
+        return cfg.learning_rate * (cfg.warmup_steps / (step + cfg.warmup_steps)) ** 0.5
+
+    return sched
+
+
+def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
+    sched = make_schedule(cfg)
+    chain = []
+    if cfg.grad_clip_norm > 0:
+        chain.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
+    if cfg.optimizer == "adam":
+        chain.append(optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2,
+                                         eps=cfg.eps))
+    elif cfg.optimizer == "adamw":
+        chain.append(optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2,
+                                         eps=cfg.eps))
+        chain.append(optax.add_decayed_weights(cfg.weight_decay))
+    elif cfg.optimizer == "sgd":
+        pass
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+    chain.append(optax.scale_by_learning_rate(sched))
+    return optax.chain(*chain)

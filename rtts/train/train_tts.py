@@ -1,0 +1,211 @@
+"""TTS training harness (SURVEY.md §3.1 #14, §4.1).
+
+The reference wraps ReformerTTS in a PyTorch Lightning module; here the
+harness is an explicit jit-compiled train step over a device mesh:
+
+- params replicated, batch sharded over the ``data`` axis (SURVEY.md §3.4) —
+  XLA inserts the gradient all-reduce over ICI from the shardings;
+- teacher-forced forward, masked losses, global-norm clipping, Adam+Noam;
+- eval logs val loss plus the reference's artifact discipline: a
+  predicted-vs-target mel PNG and a rendered wav per eval;
+- atomic checkpoints with top-k retention and resume.
+"""
+
+from __future__ import annotations
+
+import functools
+import pathlib
+import time
+from typing import Any, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from rtts.config import Config
+from rtts.data.dataset import Manifest, TextMelDataset, split_manifest
+from rtts.models import reformer_tts as M
+from rtts.parallel.mesh import make_mesh
+from rtts.parallel.sharding import batch_sharding, replicated
+from rtts.train.checkpoint import (
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from rtts.train.losses import make_stop_target, tts_loss
+from rtts.train.optim import make_optimizer
+from rtts.utils.metrics import MetricLogger
+
+
+def make_train_step(model_cfg, optimizer):
+    def train_step(params, opt_state, batch, rng):
+        def loss_fn(p):
+            pre, post, stop = M.forward(
+                p, model_cfg, batch["tokens"], batch["token_mask"],
+                batch["mel"], batch["mel_mask"], rng=rng, deterministic=False)
+            return tts_loss(pre, post, stop, batch["mel"],
+                            make_stop_target(batch["mel_mask"]),
+                            batch["mel_mask"], model_cfg.stop_pos_weight)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return params, opt_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model_cfg):
+    def eval_step(params, batch):
+        pre, post, stop = M.forward(
+            params, model_cfg, batch["tokens"], batch["token_mask"],
+            batch["mel"], batch["mel_mask"], deterministic=True)
+        _, metrics = tts_loss(pre, post, stop, batch["mel"],
+                              make_stop_target(batch["mel_mask"]),
+                              batch["mel_mask"], model_cfg.stop_pos_weight)
+        return metrics, post
+
+    return eval_step
+
+
+def _shard_batch(batch: Dict[str, np.ndarray], mesh) -> Dict[str, jnp.ndarray]:
+    """Shard the batch axis over ``data``; replicate when not divisible
+    (ragged eval batches) — correctness first, XLA still partitions work."""
+    dp = mesh.shape[next(iter(mesh.axis_names))]
+
+    def put(v):
+        if v.shape[0] % dp == 0:
+            return jax.device_put(v, batch_sharding(mesh, np.ndim(v)))
+        return jax.device_put(v, replicated(mesh))
+
+    return {k: put(v) for k, v in batch.items()}
+
+
+def train_tts(cfg: Config, workdir: str, max_steps: Optional[int] = None,
+              manifest_path: Optional[str] = None) -> Dict[str, Any]:
+    """Run TTS training; returns final metrics. Resumable."""
+    work = pathlib.Path(workdir)
+    work.mkdir(parents=True, exist_ok=True)
+    exp = cfg.experiment
+    max_steps = max_steps if max_steps is not None else exp.max_steps
+
+    from rtts.config import save_config
+    save_config(cfg, work / "config.yaml")
+
+    # -- data ---------------------------------------------------------------
+    man = Manifest.load(manifest_path or
+                        pathlib.Path(cfg.dataset.data_dir) / cfg.dataset.manifest)
+    train_man, val_man = split_manifest(man, cfg.dataset.val_fraction,
+                                        cfg.dataset.split_seed)
+    train_ds = TextMelDataset(train_man, cfg.dataset)
+    val_ds = TextMelDataset(val_man, cfg.dataset)
+    train_iter = train_ds.batches(cfg.dataset.batch_size,
+                                  seed=cfg.dataset.shuffle_seed, loop=True,
+                                  drop_last=len(train_ds) > cfg.dataset.batch_size)
+
+    # -- model / optimizer / mesh ------------------------------------------
+    model_cfg = cfg.model
+    if model_cfg.vocab_size <= 0:
+        from rtts.text import vocab_size
+        import dataclasses
+        model_cfg = dataclasses.replace(model_cfg, vocab_size=vocab_size())
+    mesh = make_mesh(exp.mesh)
+    optimizer = make_optimizer(exp.optim)
+
+    rng = jax.random.PRNGKey(exp.seed)
+    params = M.init(jax.random.PRNGKey(exp.seed), model_cfg)
+    opt_state = optimizer.init(params)
+    step0 = 0
+
+    ckpt_dir = work / cfg.experiment.checkpoint.directory
+    if exp.checkpoint.resume:
+        latest = latest_checkpoint(ckpt_dir)
+        if latest:
+            restored, step0 = restore_checkpoint(
+                latest, {"params": params, "opt_state": opt_state})
+            params, opt_state = restored["params"], restored["opt_state"]
+            print(f"resumed from {latest} at step {step0}")
+
+    with mesh:
+        params = jax.device_put(params, replicated(mesh))
+        opt_state = jax.device_put(opt_state, replicated(mesh))
+        train_step = jax.jit(make_train_step(model_cfg, optimizer),
+                             donate_argnums=(0, 1))
+        eval_step = jax.jit(make_eval_step(model_cfg))
+
+        logger = MetricLogger(str(work / exp.logging.jsonl_path),
+                              exp.logging.tensorboard_dir)
+        last_metrics: Dict[str, Any] = {}
+        t_last = time.time()
+        for step in range(step0, max_steps):
+            batch = _shard_batch(next(train_iter), mesh)
+            rng, sub = jax.random.split(rng)
+            params, opt_state, metrics = train_step(params, opt_state, batch, sub)
+
+            if (step + 1) % exp.logging.log_every_steps == 0 or step == step0:
+                metrics = jax.device_get(metrics)
+                now = time.time()
+                metrics["steps_per_sec"] = (
+                    exp.logging.log_every_steps / max(now - t_last, 1e-6))
+                t_last = now
+                logger.log(step + 1, metrics, prefix="train/")
+                last_metrics = metrics
+
+            if (step + 1) % exp.logging.eval_every_steps == 0 or step + 1 == max_steps:
+                val_metrics = _run_eval(cfg, model_cfg, eval_step, params,
+                                        val_ds, mesh, work, step + 1)
+                logger.log(step + 1, val_metrics, prefix="val/")
+                save_checkpoint(ckpt_dir,
+                                {"params": params, "opt_state": opt_state},
+                                step + 1,
+                                metric=float(val_metrics.get("loss", 0.0)),
+                                keep=exp.checkpoint.keep)
+        logger.close()
+    return last_metrics
+
+
+def _run_eval(cfg, model_cfg, eval_step, params, val_ds, mesh, work,
+              step) -> Dict[str, float]:
+    agg: Dict[str, float] = {}
+    n = 0
+    post_example = None
+    batch_example = None
+    for i, batch in enumerate(val_ds.batches(cfg.dataset.batch_size,
+                                             shuffle=False)):
+        if i >= cfg.experiment.eval_batches:
+            break
+        sharded = _shard_batch(batch, mesh)
+        metrics, post = eval_step(params, sharded)
+        metrics = jax.device_get(metrics)
+        for k, v in metrics.items():
+            agg[k] = agg.get(k, 0.0) + float(v)
+        n += 1
+        if post_example is None:
+            post_example = np.asarray(post[0])
+            batch_example = batch
+    out = {k: v / max(n, 1) for k, v in agg.items()}
+
+    # artifact discipline: predicted-vs-target mel PNG + rendered wav
+    if post_example is not None:
+        try:
+            from rtts.data.visualize import plot_spectrogram
+
+            art = pathlib.Path(work) / cfg.experiment.logging.artifacts_dir
+            t_len = int(batch_example["mel_mask"][0].sum())
+            plot_spectrogram(post_example[:t_len],
+                             str(art / f"mel_step{step}.png"),
+                             title=f"predicted (step {step})",
+                             target=batch_example["mel"][0][:t_len])
+            from rtts.audio.griffin import mel_to_audio
+            from rtts.audio.wav import write_wav
+
+            wav = np.asarray(mel_to_audio(
+                jnp.asarray(post_example[:t_len]), cfg.dataset.audio, n_iter=8))
+            write_wav(art / f"audio_step{step}.wav", wav,
+                      cfg.dataset.audio.sample_rate)
+        except Exception as e:  # artifacts must never kill training
+            print(f"eval artifact generation failed: {e}")
+    return out

@@ -1,0 +1,128 @@
+"""Vocoder training harness (SURVEY.md §3.1 #15, §4.2): flow NLL on
+(mel window, audio crop) pairs; eval logs generated audio."""
+
+from __future__ import annotations
+
+import pathlib
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from rtts.config import Config
+from rtts.data.dataset import Manifest, MelAudioDataset, split_manifest
+from rtts.models import squeezewave as SW
+from rtts.parallel.mesh import make_mesh
+from rtts.parallel.sharding import batch_sharding, replicated
+from rtts.train.checkpoint import (
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from rtts.train.optim import make_optimizer
+from rtts.train.vocoder_loss import squeezewave_loss
+from rtts.utils.metrics import MetricLogger
+
+
+def make_train_step(voc_cfg, optimizer):
+    def train_step(params, opt_state, batch):
+        def loss_fn(p):
+            z, log_s, log_det = SW.forward(p, voc_cfg, batch["mel"],
+                                           batch["audio"])
+            return squeezewave_loss(z, log_s, log_det, voc_cfg.sigma)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return params, opt_state, metrics
+
+    return train_step
+
+
+def train_vocoder(cfg: Config, workdir: str, max_steps: Optional[int] = None,
+                  manifest_path: Optional[str] = None) -> Dict[str, Any]:
+    work = pathlib.Path(workdir)
+    work.mkdir(parents=True, exist_ok=True)
+    exp = cfg.experiment
+    voc = cfg.vocoder
+    max_steps = max_steps if max_steps is not None else exp.max_steps
+
+    from rtts.config import save_config
+    save_config(cfg, work / "config.yaml")
+
+    man = Manifest.load(manifest_path or
+                        pathlib.Path(cfg.dataset.data_dir) / cfg.dataset.manifest)
+    train_man, val_man = split_manifest(man, cfg.dataset.val_fraction,
+                                        cfg.dataset.split_seed)
+    train_ds = MelAudioDataset(train_man, cfg.dataset, voc.audio_segment_length)
+    train_iter = train_ds.batches(cfg.dataset.batch_size,
+                                  seed=cfg.dataset.shuffle_seed)
+
+    mesh = make_mesh(exp.mesh)
+    optimizer = make_optimizer(exp.optim)
+    params = SW.init(jax.random.PRNGKey(exp.seed), voc)
+    opt_state = optimizer.init(params)
+    step0 = 0
+
+    ckpt_dir = work / exp.checkpoint.directory
+    if exp.checkpoint.resume:
+        latest = latest_checkpoint(ckpt_dir)
+        if latest:
+            restored, step0 = restore_checkpoint(
+                latest, {"params": params, "opt_state": opt_state})
+            params, opt_state = restored["params"], restored["opt_state"]
+            print(f"resumed from {latest} at step {step0}")
+
+    with mesh:
+        params = jax.device_put(params, replicated(mesh))
+        opt_state = jax.device_put(opt_state, replicated(mesh))
+        train_step = jax.jit(make_train_step(voc, optimizer),
+                             donate_argnums=(0, 1))
+        infer_jit = jax.jit(lambda p, mel, rng: SW.infer(p, voc, mel, rng=rng))
+
+        logger = MetricLogger(str(work / exp.logging.jsonl_path),
+                              exp.logging.tensorboard_dir)
+        last: Dict[str, Any] = {}
+        t_last = time.time()
+        from rtts.train.train_tts import _shard_batch
+
+        for step in range(step0, max_steps):
+            batch = _shard_batch(next(train_iter), mesh)
+            params, opt_state, metrics = train_step(params, opt_state, batch)
+
+            if (step + 1) % exp.logging.log_every_steps == 0 or step == step0:
+                metrics = jax.device_get(metrics)
+                now = time.time()
+                metrics["steps_per_sec"] = (
+                    exp.logging.log_every_steps / max(now - t_last, 1e-6))
+                t_last = now
+                logger.log(step + 1, metrics, prefix="train/")
+                last = metrics
+
+            if (step + 1) % exp.logging.eval_every_steps == 0 or step + 1 == max_steps:
+                # artifact: render one validation mel window to audio
+                try:
+                    val_ds = MelAudioDataset(val_man, cfg.dataset,
+                                             voc.audio_segment_length)
+                    vb = val_ds.sample(np.random.default_rng(0), 1)
+                    wav = np.asarray(infer_jit(params, jnp.asarray(vb["mel"]),
+                                               jax.random.PRNGKey(0))[0])
+                    from rtts.audio.wav import write_wav
+
+                    art = work / exp.logging.artifacts_dir
+                    write_wav(art / f"vocoder_step{step + 1}.wav",
+                              np.clip(wav, -1, 1), voc.sample_rate)
+                except Exception as e:
+                    print(f"vocoder eval artifact failed: {e}")
+                save_checkpoint(ckpt_dir,
+                                {"params": params, "opt_state": opt_state},
+                                step + 1,
+                                metric=float(last.get("loss_vocoder", 0.0)),
+                                keep=exp.checkpoint.keep)
+        logger.close()
+    return last

@@ -1,0 +1,99 @@
+"""Data pipeline: synthetic corpus -> preprocess -> datasets -> batches
+(SURVEY.md §3.1 #3-6)."""
+
+import numpy as np
+import pytest
+
+from rtts.config import DatasetConfig, AudioConfig, TextConfig
+from rtts.data.corpus import generate_corpus, synth_utterance
+from rtts.data.dataset import (
+    Manifest,
+    MelAudioDataset,
+    TextMelDataset,
+    split_manifest,
+)
+from rtts.data.preprocess import preprocess_corpus, trim_silence
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    cfg = DatasetConfig(data_dir=str(root / "data"),
+                        audio=AudioConfig(),
+                        text=TextConfig(pad_to_multiple=16))
+    utts = generate_corpus(root, n_utterances=8)
+    manifest = preprocess_corpus(cfg, str(root / "transcripts.txt"))
+    return cfg, manifest, utts
+
+
+def test_synth_utterance_deterministic():
+    a = synth_utterance("hello world.")
+    b = synth_utterance("hello world.")
+    np.testing.assert_array_equal(a, b)
+    assert len(a) == len("hello world.") * int(0.08 * 22050)
+    assert np.abs(a).max() <= 1.0
+
+
+def test_trim_silence():
+    sr = 22050
+    sig = np.concatenate([np.zeros(sr // 4),
+                          0.5 * np.sin(np.linspace(0, 800 * np.pi, sr // 2)),
+                          np.zeros(sr // 4)]).astype(np.float32)
+    trimmed = trim_silence(sig, sr)
+    assert len(trimmed) < len(sig)
+    assert len(trimmed) >= sr // 2 - sr // 100
+
+
+def test_manifest_and_clips(corpus):
+    cfg, manifest, utts = corpus
+    man = Manifest.load(manifest)
+    assert len(man.clips) == 8
+    c = man.clips[0]
+    with np.load(c["clip"]) as z:
+        assert z["mel"].shape == (c["n_frames"], cfg.audio.n_mels)
+        assert len(z["tokens"]) == c["n_tokens"]
+        assert len(z["audio"]) == c["n_samples"]
+        # audio/mel aligned: frames * hop == samples
+        assert c["n_samples"] == c["n_frames"] * cfg.audio.hop_length
+
+
+def test_text_mel_batches_static_shapes(corpus):
+    cfg, manifest, _ = corpus
+    man = Manifest.load(manifest)
+    ds = TextMelDataset(man, cfg)
+    shapes = set()
+    for batch in ds.batches(batch_size=4, shuffle=True):
+        assert batch["tokens"].shape[1] % cfg.text.pad_to_multiple == 0
+        assert batch["mel"].shape[1] % cfg.mel_pad_to_multiple == 0
+        assert batch["tokens"].shape == batch["token_mask"].shape
+        assert batch["mel"].shape[:2] == batch["mel_mask"].shape
+        # mask rows are prefix-true
+        for r in range(batch["mel"].shape[0]):
+            m = batch["mel_mask"][r]
+            n = m.sum()
+            assert m[:n].all() and not m[n:].any()
+        shapes.add(batch["mel"].shape)
+    # bucketing by length keeps the shape count small
+    assert len(shapes) <= 3
+
+
+def test_split_no_overlap(corpus):
+    cfg, manifest, _ = corpus
+    man = Manifest.load(manifest)
+    tr, va = split_manifest(man, 0.25, seed=0)
+    tr_ids = {c["utt_id"] for c in tr.clips}
+    va_ids = {c["utt_id"] for c in va.clips}
+    assert not (tr_ids & va_ids)
+    assert len(tr_ids) + len(va_ids) == 8
+
+
+def test_mel_audio_crops(corpus):
+    cfg, manifest, _ = corpus
+    man = Manifest.load(manifest)
+    ds = MelAudioDataset(man, cfg, segment_samples=4096)
+    batch = ds.sample(np.random.default_rng(0), 3)
+    assert batch["audio"].shape == (3, 4096)
+    assert batch["mel"].shape == (3, 4096 // man.hop_length, man.n_mels)
+    # crop alignment: recompute mel from crop start matches stored window
+    # (crop windows come from the same precomputed mel, so just check dtype)
+    assert batch["mel"].dtype == np.float32
