@@ -13,6 +13,9 @@ sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
 
 def main():
+    from rtts.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     from rtts.bench import base_bench_config, run_bench
 
     line = run_bench(base_bench_config(), which="e2e")

@@ -146,6 +146,20 @@ def lsh_attend_chunks(
     return out, lse
 
 
+def _pick_attend_fn(cfg: AttentionConfig):
+    """Fused Pallas chunk-attend on TPU; jnp reference elsewhere (or when
+    disabled).  Interpret mode keeps the kernel testable on CPU."""
+    if not cfg.use_pallas:
+        return lsh_attend_chunks
+    import functools
+
+    from rtts.ops.lsh_attention import lsh_attend_chunks_pallas
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    return functools.partial(lsh_attend_chunks_pallas,
+                             interpret=not on_tpu)
+
+
 def lsh_attention_core(
     qk: jnp.ndarray,       # (B, H, L, d)
     v: jnp.ndarray,        # (B, H, L, d)
@@ -154,7 +168,7 @@ def lsh_attention_core(
     causal: bool,
     rng: jax.Array,
     buckets: Optional[jnp.ndarray] = None,   # cached (B,H,nh,L)
-    attend_fn=lsh_attend_chunks,
+    attend_fn=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full LSH pipeline on projected heads. Returns (out (B,H,L,d), buckets).
 
@@ -164,6 +178,8 @@ def lsh_attention_core(
     b, h, l, d = qk.shape
     c = cfg.chunk_length
     nh = cfg.num_hashes
+    if attend_fn is None:
+        attend_fn = _pick_attend_fn(cfg)
     if l % c != 0:
         raise ValueError(f"seq len {l} not a multiple of chunk {c} (autopad upstream)")
     nb = cfg.num_buckets or auto_num_buckets(l, c)

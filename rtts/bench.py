@@ -8,8 +8,10 @@ The reference publishes no numbers (BASELINE.json "published": {}), so
 ``vs_baseline`` is reported against the driver's north-star RTF target:
 vs_baseline = target_rtf / measured_rtf  (> 1.0 means beating the target).
 
-All timing uses jax.block_until_ready around fully-jitted functions after a
-compile warmup (SURVEY.md §6.1).
+All timing uses a blocking sync on a concrete output array after a compile
+warmup (SURVEY.md §6.1).  (Note: on the axon-tunneled TPU backend,
+block_until_ready on a *tuple* was observed returning early; _sync blocks
+on a single leaf, which measures correctly.)
 """
 
 from __future__ import annotations
@@ -26,6 +28,13 @@ import numpy as np
 from rtts.config import Config
 
 TARGET_RTF = 0.05
+
+
+def _sync(x):
+    """Block on one concrete leaf (reliable on the axon backend)."""
+    leaf = jax.tree.leaves(x)[0]
+    jax.block_until_ready(leaf)
+    return x
 # mel frame rate of real-time audio: sample_rate / hop
 def _frame_rate(cfg: Config) -> float:
     return cfg.dataset.audio.sample_rate / cfg.dataset.audio.hop_length
@@ -85,11 +94,11 @@ def bench_decode(cfg: Optional[Config] = None, batch: int = 8,
         return decode_greedy(p, cfg.model, memory, msk,
                              max_frames=max_frames, stop_threshold=2.0)
 
-    mel, lengths, _ = jax.block_until_ready(run(params, tokens, tmask))  # warmup
+    mel, lengths, _ = _sync(run(params, tokens, tmask))  # warmup/compile
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(run(params, tokens, tmask))
+        _sync(run(params, tokens, tmask))
         times.append(time.perf_counter() - t0)
     dt = min(times)
     frames = batch * max_frames
@@ -131,11 +140,11 @@ def bench_e2e(cfg: Optional[Config] = None, batch: int = 8,
             audio = mel  # no vocoder: mel only
         return audio
 
-    out = jax.block_until_ready(run(params, voc_params, tokens, tmask))
+    out = _sync(run(params, voc_params, tokens, tmask))
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(run(params, voc_params, tokens, tmask))
+        _sync(run(params, voc_params, tokens, tmask))
         times.append(time.perf_counter() - t0)
     dt = min(times)
     audio_seconds = batch * max_frames / _frame_rate(cfg)
@@ -162,11 +171,11 @@ def bench_vocoder(cfg: Optional[Config] = None, batch: int = 8,
 
     run = jax.jit(lambda p, m: SW.infer(p, voc, m, rng=jax.random.PRNGKey(0),
                                         folded=True))
-    jax.block_until_ready(run(params, mel))
+    _sync(run(params, mel))
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(run(params, mel))
+        _sync(run(params, mel))
         times.append(time.perf_counter() - t0)
     dt = min(times)
     audio_seconds = batch * mel_frames * voc.hop_length / voc.sample_rate
@@ -205,11 +214,11 @@ def bench_train_step(cfg: Optional[Config] = None, batch: int = 8,
         return optax.apply_updates(p, updates), s, loss
 
     rng = jax.random.PRNGKey(3)
-    params, opt_state, _ = jax.block_until_ready(step(params, opt_state, rng))
+    params, opt_state, _ = _sync(step(params, opt_state, rng))
     times = []
     for i in range(repeats):
         t0 = time.perf_counter()
-        params, opt_state, loss = jax.block_until_ready(
+        params, opt_state, loss = _sync(
             step(params, opt_state, jax.random.fold_in(rng, i)))
         times.append(time.perf_counter() - t0)
     dt = min(times)

@@ -86,6 +86,8 @@ class AttentionConfig:
     # mask penalty asymmetry (reference semantics): hard mask vs self-attend
     mask_value: float = -1e9
     self_mask_value: float = -1e5
+    # fused Pallas chunk-attend kernel (falls back to interpret mode off-TPU)
+    use_pallas: bool = True
 
 
 @dataclass(frozen=True)
@@ -100,6 +102,7 @@ class ReformerStackConfig:
     dropout: float = 0.1
     reversible: bool = True
     causal: bool = False
+    use_pallas_ffn: bool = True   # fused LN+FFN kernel on TPU
     attention: AttentionConfig = field(default_factory=AttentionConfig)
 
 
@@ -158,6 +161,7 @@ class SqueezeWaveConfig:
     sample_rate: int = 22050
     hop_length: int = 256
     audio_segment_length: int = 16384  # random crop length for training
+    use_pallas: bool = True            # fused depthwise conv kernel on TPU
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
 

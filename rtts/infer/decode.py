@@ -269,6 +269,64 @@ def decode_greedy(
     return mel_post, state.lengths, state.stop_logits
 
 
+def decode_greedy_recompute(
+    params,
+    cfg: ReformerTTSConfig,
+    memory: jnp.ndarray,
+    memory_mask: jnp.ndarray,
+    max_frames: int,
+    rng: Optional[jax.Array] = None,
+    stop_threshold: Optional[float] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Reference-faithful AR loop: re-runs the FULL decoder stack on the
+    padded prefix every step (the reference's TTS loop has no LSH KV-cache —
+    SURVEY.md §4.3), so it works with any self-attention kind including LSH
+    with its exact bucketed pattern.  O(T^2) in decoder passes; use
+    ``decode_greedy`` (incremental KV cache) for serving throughput.
+
+    max_frames must be a multiple of the decoder LSH chunk length.
+    """
+    from rtts.models.reformer_tts import decode_train
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    if stop_threshold is None:
+        stop_threshold = cfg.stop_threshold
+    batch = memory.shape[0]
+    cdt = _dtype(cfg.compute_dtype)
+
+    def step(carry):
+        t, done, lengths, mel = carry
+        mel_in = jnp.concatenate(
+            [jnp.zeros_like(mel[:, :1]), mel[:, :-1]], axis=1)
+        mel_mask = jnp.arange(max_frames)[None, :] <= t
+        mel_mask = jnp.broadcast_to(mel_mask, (batch, max_frames))
+        pre, _, stop_logits = decode_train(
+            params, cfg, mel_in, mel_mask, memory, memory_mask,
+            rng=jax.random.fold_in(rng, t), deterministic=True)
+        frame = jax.lax.dynamic_slice_in_dim(pre, t, 1, axis=1)[:, 0]
+        stop_t = jax.lax.dynamic_slice_in_dim(stop_logits, t, 1, axis=1)[:, 0]
+        mel = jax.lax.dynamic_update_slice_in_dim(mel, frame[:, None], t,
+                                                  axis=1)
+        newly_done = jax.nn.sigmoid(stop_t) > stop_threshold
+        lengths = jnp.where(done, lengths, t + 1)
+        return t + 1, done | newly_done, lengths, mel
+
+    def cond(carry):
+        t, done, _, _ = carry
+        return (t < max_frames) & ~jnp.all(done)
+
+    carry = (jnp.asarray(0, jnp.int32), jnp.zeros((batch,), bool),
+             jnp.full((batch,), max_frames, jnp.int32),
+             jnp.zeros((batch, max_frames, cfg.n_mels), jnp.float32))
+    t, done, lengths, mel = jax.lax.while_loop(cond, step, carry)
+    residual = postnet_apply(params["postnet"], cfg, mel.astype(cdt),
+                             None, True, cdt).astype(jnp.float32)
+    mel_post = mel + residual
+    frame_mask = jnp.arange(max_frames)[None, :] < lengths[:, None]
+    return mel_post * frame_mask[..., None], lengths, mel
+
+
 def decode_teacher_check(
     params,
     cfg: ReformerTTSConfig,

@@ -70,9 +70,18 @@ def _wn_weight(p: Dict[str, Any]) -> jnp.ndarray:
     return p["g"][None, None, :] * v / norm
 
 
-def wn_conv(p, x, groups: int = 1, compute_dtype=None, folded: bool = False):
+def wn_conv(p, x, groups: int = 1, compute_dtype=None, folded: bool = False,
+            use_pallas: bool = True):
     # auto-detect folded params ({"w"}) vs weight-normed ({"v","g"})
     w = p["w"] if "w" in p else _wn_weight(p)
+    if (use_pallas and groups > 1 and groups == x.shape[-1]
+            and w.shape[0] > 1 and jax.devices()[0].platform == "tpu"):
+        from rtts.ops.depthwise_conv import depthwise_conv1d_pallas
+
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
+            w = w.astype(compute_dtype)
+        return depthwise_conv1d_pallas(x, w, p["b"].astype(x.dtype))
     return conv1d({"w": w, "b": p["b"]}, x, padding="SAME", groups=groups,
                   compute_dtype=compute_dtype)
 

@@ -92,8 +92,15 @@ def make_stack_layer_fns(
         return out, None
 
     def g_ffn(params, y, memory, aux):
-        out = chunked_ffn(params, y, cfg.ffn_chunk_size, cfg.ffn_activation,
-                          compute_dtype)
+        if cfg.use_pallas_ffn and jax.devices()[0].platform == "tpu":
+            from rtts.ops.chunked_ffn import chunked_ffn_pallas
+
+            row_block = cfg.ffn_chunk_size if cfg.ffn_chunk_size > 0 else 256
+            out = chunked_ffn_pallas(params, y, cfg.ffn_activation,
+                                     row_block=row_block)
+        else:
+            out = chunked_ffn(params, y, cfg.ffn_chunk_size,
+                              cfg.ffn_activation, compute_dtype)
         return dropout(aux["rng_g"], out, cfg.dropout, deterministic)
 
     pairs: List[Tuple[Any, Any]] = []

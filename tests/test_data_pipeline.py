@@ -45,16 +45,18 @@ def test_trim_silence():
 
 
 def test_manifest_and_clips(corpus):
+    from rtts.data.native_loader import read_clip
+
     cfg, manifest, utts = corpus
     man = Manifest.load(manifest)
     assert len(man.clips) == 8
     c = man.clips[0]
-    with np.load(c["clip"]) as z:
-        assert z["mel"].shape == (c["n_frames"], cfg.audio.n_mels)
-        assert len(z["tokens"]) == c["n_tokens"]
-        assert len(z["audio"]) == c["n_samples"]
-        # audio/mel aligned: frames * hop == samples
-        assert c["n_samples"] == c["n_frames"] * cfg.audio.hop_length
+    tokens, mel, audio = read_clip(c["clip"])
+    assert mel.shape == (c["n_frames"], cfg.audio.n_mels)
+    assert len(tokens) == c["n_tokens"]
+    assert len(audio) == c["n_samples"]
+    # audio/mel aligned: frames * hop == samples
+    assert c["n_samples"] == c["n_frames"] * cfg.audio.hop_length
 
 
 def test_text_mel_batches_static_shapes(corpus):

@@ -1,0 +1,50 @@
+"""Decode-mode equivalence: the fast incremental KV path must match the
+reference-faithful recompute path (full attention), and the recompute path
+must run LSH decoding with its exact bucketed pattern."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtts.infer.decode import decode_greedy, decode_greedy_recompute
+from rtts.models import reformer_tts as M
+from rtts.text import vocab_size
+
+from tests.test_model_m1 import tiny_cfg
+from tests.test_model_lsh import lsh_cfg
+
+
+def _memory(cfg, seed=0, B=2, L=16):
+    params = M.init(jax.random.PRNGKey(seed), cfg)
+    tokens = jax.random.randint(jax.random.PRNGKey(seed + 1), (B, L), 3,
+                                vocab_size())
+    tmask = jnp.ones((B, L), bool)
+    memory = M.encode(params, cfg, tokens, tmask)
+    return params, memory, tmask
+
+
+def test_recompute_matches_incremental_full_attention():
+    cfg = tiny_cfg()  # prenet dropout 0 => both paths deterministic
+    params, memory, tmask = _memory(cfg)
+    mel_i, len_i, _ = decode_greedy(params, cfg, memory, tmask,
+                                    max_frames=16, stop_threshold=2.0)
+    mel_r, len_r, _ = decode_greedy_recompute(params, cfg, memory, tmask,
+                                              max_frames=16,
+                                              stop_threshold=2.0)
+    np.testing.assert_array_equal(np.asarray(len_i), np.asarray(len_r))
+    np.testing.assert_allclose(np.asarray(mel_r), np.asarray(mel_i),
+                               atol=5e-4, rtol=1e-3)
+
+
+def test_recompute_decodes_lsh_model():
+    cfg = lsh_cfg(reversible=True)
+    params, memory, tmask = _memory(cfg, B=2, L=64)
+    # 32 frames = 2 LSH chunks of 16 -> exercises the bucketed path
+    mel, lengths, _ = jax.jit(
+        lambda p, m, mm: decode_greedy_recompute(p, cfg, m, mm,
+                                                 max_frames=32,
+                                                 stop_threshold=2.0)
+    )(params, memory, tmask)
+    assert mel.shape == (2, 32, 20)
+    assert np.isfinite(np.asarray(mel)).all()
+    assert (np.asarray(lengths) == 32).all()
