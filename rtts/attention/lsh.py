@@ -67,13 +67,17 @@ def hash_vectors(
     n_hashes: int,
     rng: jax.Array,
     mask: Optional[jnp.ndarray],  # (B, L) bool or None
+    rotations: Optional[jnp.ndarray] = None,  # (H, d, nh, nb/2) override
 ) -> jnp.ndarray:
     """Random-rotation LSH -> buckets (B, H, n_hashes, L) in [0, nb] where
-    bucket nb is the overflow bucket for padding tokens."""
+    bucket nb is the overflow bucket for padding tokens.
+
+    ``rotations`` overrides the random draw — used by cross-framework
+    parity tests to inject the oracle's rotation matrix."""
     b, h, l, d = vecs.shape
     assert num_buckets % 2 == 0, "num_buckets must be even"
-    rot = jax.random.normal(rng, (h, d, n_hashes, num_buckets // 2),
-                            dtype=jnp.float32)
+    rot = rotations if rotations is not None else jax.random.normal(
+        rng, (h, d, n_hashes, num_buckets // 2), dtype=jnp.float32)
     x = jax.lax.stop_gradient(vecs).astype(jnp.float32)
     rotated = jnp.einsum("bhld,hdnr->bhnlr", x, rot)
     rotated = jnp.concatenate([rotated, -rotated], axis=-1)
@@ -221,10 +225,15 @@ def lsh_attention_core(
     out_r = jnp.take_along_axis(out_flat, undo[..., None], axis=3)
     lse_r = jnp.take_along_axis(lse_flat, undo, axis=3)
 
-    # multi-round combine: softmax over rounds of each query's logsumexp
+    # multi-round combine: each round weighted by exp(lse - logsumexp(lse)).
+    # NOTE: written exactly as the reference computes it (NOT jax.nn.softmax):
+    # at degenerate rows (only the -1e5 self logit survives) float32 rounding
+    # at |lse|~1e5 makes these weights sum to ~0.998 rather than 1, and the
+    # torch lineage inherits that scaling — mirroring the formula keeps
+    # cross-framework output parity bit-tight (verified vs HF in tests).
     if nh == 1:
         return out_r[:, :, 0], buckets
-    w = jax.nn.softmax(lse_r, axis=2)                            # (B,H,nh,L)
+    w = jnp.exp(lse_r - jax.nn.logsumexp(lse_r, axis=2, keepdims=True))
     out = jnp.einsum("bhnl,bhnld->bhld", w.astype(out_r.dtype), out_r)
     return out, buckets
 
