@@ -31,9 +31,14 @@ TARGET_RTF = 0.05
 
 
 def _sync(x):
-    """Block on one concrete leaf (reliable on the axon backend)."""
+    """Force real completion by fetching one element to the host.
+
+    Measured on the axon-tunneled TPU backend: jax.block_until_ready
+    returns immediately (0.2 ms) while the computation is still running;
+    a 1-element device->host fetch waits for the true completion (and
+    costs ~1 ms itself, negligible at bench scales)."""
     leaf = jax.tree.leaves(x)[0]
-    jax.block_until_ready(leaf)
+    np.asarray(leaf.ravel()[0] if hasattr(leaf, "ravel") else leaf)
     return x
 # mel frame rate of real-time audio: sample_rate / hop
 def _frame_rate(cfg: Config) -> float:

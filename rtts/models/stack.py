@@ -96,8 +96,10 @@ def make_stack_layer_fns(
             from rtts.ops.chunked_ffn import chunked_ffn_pallas
 
             row_block = cfg.ffn_chunk_size if cfg.ffn_chunk_size > 0 else 256
+            mxu = ("bfloat16" if compute_dtype == jnp.bfloat16
+                   else "float32")
             out = chunked_ffn_pallas(params, y, cfg.ffn_activation,
-                                     row_block=row_block)
+                                     row_block=row_block, mxu_dtype=mxu)
         else:
             out = chunked_ffn(params, y, cfg.ffn_chunk_size,
                               cfg.ffn_activation, compute_dtype)
@@ -172,8 +174,13 @@ def stack_apply(
         }
         for i in range(n)
     ]
+    # residual streams ride in float32: the reversible backward reconstructs
+    # X2 = Y2 - g(Y1) by subtraction, and bf16 streams would accumulate
+    # reconstruction error across layers.  Sublayer matmuls still run in the
+    # configured compute dtype (casts happen inside f/g); the bf16 sublayer
+    # outputs promote back to f32 on the residual add.
     y = reversible_sequence(
-        layer_fns, params["layers"], x, memory, aux_list,
+        layer_fns, params["layers"], x.astype(jnp.float32), memory, aux_list,
         reversible=cfg.reversible,
     )
     return layer_norm(params["final_ln"], y)

@@ -27,9 +27,11 @@ from rtts.nn.conv import conv1d
 
 
 def _dw_kernel(x_ref, w_ref, b_ref, out_ref, *, kernel_size: int):
-    x = x_ref[0]                                 # (L, C)
+    # accumulate in f32 (also required: Mosaic's dynamic_rotate only
+    # supports 32-bit element types, so bf16 inputs are upcast first)
+    x = x_ref[0].astype(jnp.float32)             # (L, C)
     l = x.shape[0]
-    acc = jnp.zeros_like(x, dtype=jnp.float32)
+    acc = jnp.zeros_like(x)
     half = (kernel_size - 1) // 2
     row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
     for k in range(kernel_size):
@@ -38,8 +40,8 @@ def _dw_kernel(x_ref, w_ref, b_ref, out_ref, *, kernel_size: int):
         # are masked to zero (SAME zero padding)
         shifted = pltpu.roll(x, (-off) % l, 0)  # roll requires shift >= 0
         valid = (row + off >= 0) & (row + off < l)
-        acc = acc + jnp.where(valid, shifted, 0.0).astype(jnp.float32) * w_ref[k]
-    out_ref[0] = (acc + b_ref[0]).astype(out_ref.dtype)
+        acc = acc + jnp.where(valid, shifted, 0.0) * w_ref[k].astype(jnp.float32)
+    out_ref[0] = (acc + b_ref[0].astype(jnp.float32)).astype(out_ref.dtype)
 
 
 def _dw_pallas_raw(x, w, b, interpret):

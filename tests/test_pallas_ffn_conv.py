@@ -17,9 +17,15 @@ def test_ffn_pallas_matches_reference():
     params = ffn_init(key, d, f)
     x = jax.random.normal(jax.random.fold_in(key, 1), (2, 64, d))
     ref = _ffn_body(params, x, "gelu")
-    out = chunked_ffn_pallas(params, x, "gelu", row_block=32, interpret=True)
+    out = chunked_ffn_pallas(params, x, "gelu", row_block=32, interpret=True,
+                             mxu_dtype="float32")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+    # bf16 MXU mode: same math at bf16 multiply precision
+    out_bf = chunked_ffn_pallas(params, x, "gelu", row_block=32,
+                                interpret=True, mxu_dtype="bfloat16")
+    np.testing.assert_allclose(np.asarray(out_bf), np.asarray(ref),
+                               atol=5e-2, rtol=5e-2)
 
 
 def test_ffn_pallas_gradients_match():
@@ -31,7 +37,8 @@ def test_ffn_pallas_gradients_match():
     g_ref = jax.grad(lambda p, x: jnp.sum(_ffn_body(p, x, "gelu") ** 2),
                      argnums=(0, 1))(params, x)
     g_pl = jax.grad(lambda p, x: jnp.sum(
-        chunked_ffn_pallas(p, x, "gelu", row_block=16, interpret=True) ** 2),
+        chunked_ffn_pallas(p, x, "gelu", row_block=16, interpret=True,
+                           mxu_dtype="float32") ** 2),
         argnums=(0, 1))(params, x)
     for a, b in zip(jax.tree.leaves(g_pl), jax.tree.leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
