@@ -49,29 +49,31 @@ def _proj_heads(params_w, x, num_heads, cdt):
     return y.reshape(b, num_heads, di // num_heads)
 
 
-def _self_attn_step(p, h_t, qk_cache, v_cache, t, num_heads, cdt):
+def _self_attn_step(p, h_t, k_cache, v_cache, t, num_heads, cdt):
     """One-frame shared-QK causal self-attention over the cached prefix.
 
-    h_t: (B, D) LN'd input frame.  qk_cache/v_cache: (B, T_max, H, d).
-    Returns (out (B, D), new caches).
+    h_t: (B, D) LN'd input frame.  k_cache stores keys already normalized
+    and 1/sqrt(d)-scaled at insertion time (len-norm is per-vector, so
+    normalizing once beats re-normalizing the whole cache every step — the
+    dominant per-step FLOPs otherwise).  Returns (out (B, D), new caches).
     """
     qk_t = _proj_heads(p["w_qk"], h_t, num_heads, cdt)   # (B, H, d)
     v_t = _proj_heads(p["w_v"], h_t, num_heads, cdt)
-    qk_cache = jax.lax.dynamic_update_slice_in_dim(
-        qk_cache, qk_t[:, None], t, axis=1)
+    d = qk_t.shape[-1]
+    k_t = _len_norm(qk_t) * (d ** -0.5)
+    k_cache = jax.lax.dynamic_update_slice_in_dim(
+        k_cache, k_t[:, None], t, axis=1)
     v_cache = jax.lax.dynamic_update_slice_in_dim(
         v_cache, v_t[:, None], t, axis=1)
-    d = qk_t.shape[-1]
-    k = _len_norm(qk_cache) * (d ** -0.5)                # (B, T, H, d)
-    scores = jnp.einsum("bhd,bthd->bht", qk_t, k).astype(jnp.float32)
-    t_max = qk_cache.shape[1]
+    scores = jnp.einsum("bhd,bthd->bht", qk_t, k_cache).astype(jnp.float32)
+    t_max = k_cache.shape[1]
     pos = jnp.arange(t_max)[None, None, :]
     scores = jnp.where(pos > t, MASK_VALUE, scores)      # causal/validity
     scores = jnp.where(pos == t, SELF_MASK_VALUE, scores)  # no self-attend
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bht,bthd->bhd", probs.astype(v_cache.dtype), v_cache)
     out = out.reshape(out.shape[0], -1)
-    return dense(p["w_o"], out, cdt), qk_cache, v_cache
+    return dense(p["w_o"], out, cdt), k_cache, v_cache
 
 
 def _cross_attn_step(p, h_t, mem_k, mem_v, memory_mask, num_heads, cdt):

@@ -52,16 +52,25 @@ class Synthesizer:
             jax.random.PRNGKey(seed), max_frames=self.max_frames)
         return np.asarray(mel), np.asarray(lengths)
 
-    def mel_to_audio(self, mel: np.ndarray, length: Optional[int] = None) -> np.ndarray:
+    def mel_to_audio(self, mel: np.ndarray, length: Optional[int] = None,
+                     streaming_chunk: int = 0) -> np.ndarray:
         """One utterance (T, n_mels) -> waveform. Uses the SqueezeWave
-        vocoder when params are loaded, else Griffin-Lim."""
+        vocoder when params are loaded, else Griffin-Lim.
+        ``streaming_chunk`` > 0 vocodes in chunks of that many mel frames
+        (identical output, bounded latency/memory)."""
         if length is not None:
             mel = mel[:length]
         if self.vocoder_params is not None:
             from rtts.models.squeezewave import infer as sw_infer
+            from rtts.models.squeezewave import infer_streaming
 
-            audio = sw_infer(self.vocoder_params, self.cfg.vocoder,
-                             jnp.asarray(mel)[None])[0]
+            if streaming_chunk > 0:
+                audio = infer_streaming(self.vocoder_params, self.cfg.vocoder,
+                                        jnp.asarray(mel)[None],
+                                        chunk_frames=streaming_chunk)[0]
+            else:
+                audio = sw_infer(self.vocoder_params, self.cfg.vocoder,
+                                 jnp.asarray(mel)[None])[0]
             return np.asarray(audio)
         from rtts.audio.griffin import mel_to_audio as gl_mel_to_audio
 

@@ -37,6 +37,7 @@ build contract):
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -253,29 +254,95 @@ def infer(params, cfg: SqueezeWaveConfig, mel: jnp.ndarray,
           sigma: Optional[float] = None, rng: Optional[jax.Array] = None,
           folded: bool = False, compute_dtype=None) -> jnp.ndarray:
     """mel (B, M, n_mels) -> audio (B, M * hop_length). Runs flows in
-    reverse on z ~ N(0, sigma^2)."""
-    cdt = compute_dtype or _dtype(cfg.compute_dtype)
+    reverse on z ~ N(0, sigma^2).  Channel bookkeeping: the tail of z is
+    the final x; early chunks were emitted (in forward order) from the
+    front."""
     if sigma is None:
         sigma = cfg.sigma
     if rng is None:
         rng = jax.random.PRNGKey(0)
     b, m, _ = mel.shape
-    t_samples = m * cfg.hop_length
-    l = t_samples // cfg.n_group
-    mel_up = upsample_mel(mel, l).astype(cdt)
+    l = m * cfg.hop_length // cfg.n_group
+    z = jax.random.normal(rng, (b, l, cfg.n_group), jnp.float32) * sigma
+    return _infer_chunk(params, mel, z, cfg=cfg, folded=folded)
 
+
+# ---------------------------------------------------------------------------
+# streaming inference (chunked, fused behind the AR decoder)
+# ---------------------------------------------------------------------------
+
+
+def receptive_field_squeezed(cfg: SqueezeWaveConfig) -> int:
+    """One-sided receptive field of the flow stack in squeezed samples.
+
+    Temporal mixing comes only from the depthwise convs (1x1 convs and the
+    coupling are pointwise): wn_layers convs of kernel k per flow, n_flows
+    flows in sequence."""
+    per_flow = cfg.wn_layers * (cfg.wn_kernel_size - 1) // 2
+    return cfg.n_flows * per_flow
+
+
+def infer_streaming(params, cfg: SqueezeWaveConfig, mel: jnp.ndarray,
+                    sigma: Optional[float] = None,
+                    rng: Optional[jax.Array] = None,
+                    chunk_frames: int = 64,
+                    folded: bool = False) -> jnp.ndarray:
+    """Chunked mel->audio: processes ``chunk_frames`` mel frames at a time
+    with enough overlap context that kept samples are EXACTLY the full-pass
+    output (conv locality; verified in tests).  This is the low-latency
+    serving path — audio for the first chunk is ready while later mel
+    frames are still being decoded.
+
+    The noise tensor is drawn once for the whole utterance so chunk
+    boundaries see the same z as a single pass would.
+    """
+    if sigma is None:
+        sigma = cfg.sigma
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    b, m, _ = mel.shape
+    r = cfg.hop_length // cfg.n_group          # squeezed samples per frame
+    if r < 1 or cfg.hop_length % cfg.n_group != 0:
+        raise ValueError("hop_length must be a positive multiple of n_group")
+    # overlap in mel frames covering the squeezed receptive field
+    ctx = -(-receptive_field_squeezed(cfg) // r)
+    l_total = m * r
+    z_full = jax.random.normal(rng, (b, l_total, cfg.n_group),
+                               jnp.float32) * sigma
+
+    chunk_fn = jax.jit(functools.partial(_infer_chunk, cfg=cfg,
+                                         folded=folded))
+    outs = []
+    start = 0
+    while start < m:
+        end = min(start + chunk_frames, m)
+        lo = max(0, start - ctx)
+        hi = min(m, end + ctx)
+        mel_c = jax.lax.dynamic_slice_in_dim(mel, lo, hi - lo, axis=1) \
+            if hi - lo == chunk_frames + 2 * ctx else mel[:, lo:hi]
+        z_c = z_full[:, lo * r:hi * r]
+        audio_c = chunk_fn(params, mel_c, z_c)
+        keep_lo = (start - lo) * cfg.hop_length
+        keep_hi = keep_lo + (end - start) * cfg.hop_length
+        outs.append(audio_c[:, keep_lo:keep_hi])
+        start = end
+    return jnp.concatenate(outs, axis=1)
+
+
+def _infer_chunk(params, mel_c, z_c, *, cfg: SqueezeWaveConfig, folded: bool):
+    """Inverse flow pass on one chunk with an externally supplied z."""
+    cdt = _dtype(cfg.compute_dtype)
+    b, mc, _ = mel_c.shape
+    l = mc * (cfg.hop_length // cfg.n_group)
+    mel_up = upsample_mel(mel_c, l).astype(cdt)
     sched = _channel_schedule(cfg)
     n_final = sched[-1][0]
-    z = jax.random.normal(rng, (b, l, cfg.n_group), jnp.float32) * sigma
-    # channel bookkeeping: the tail of z is the final x; early chunks were
-    # emitted (in forward order) from the front
     n_early_total = cfg.n_group - n_final
-    x = z[..., n_early_total:]
+    x = z_c[..., n_early_total:]
     early_chunks = [
-        z[..., i * cfg.n_early_size:(i + 1) * cfg.n_early_size]
+        z_c[..., i * cfg.n_early_size:(i + 1) * cfg.n_early_size]
         for i in range(n_early_total // cfg.n_early_size)
     ]
-
     for k in range(cfg.n_flows - 1, -1, -1):
         n_rem, early = sched[k]
         fp = params["flows"][k]
