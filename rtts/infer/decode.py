@@ -76,6 +76,60 @@ def _self_attn_step(p, h_t, k_cache, v_cache, t, num_heads, cdt):
     return dense(p["w_o"], out, cdt), k_cache, v_cache
 
 
+def _self_attn_step_lsh(p, h_t, k_cache, v_cache, b_cache, rotations, t,
+                        num_heads, cdt, num_buckets):
+    """LSH-cached incremental self-attention (SURVEY.md §3.2 "Incremental
+    decoding cache", TPU reformulation of the HF bucket-cache scheme).
+
+    Instead of gathering the query's bucket-chunk from a re-sorted cache
+    (per-step sorts are hostile to TPU), the cache stores each key's bucket
+    ids; the step attends over the whole prefix with a per-round
+    bucket-equality mask — the ideal LSH pattern (the chunking in training
+    is a batching artifact of the sorted layout).  Multi-round outputs are
+    combined with the same exp(lse - logsumexp) rule as training.
+
+    b_cache: (B, H, nh, T) int32; rotations: (H, d, nh, nb/2).
+    Returns (out (B, D), new caches)."""
+    qk_t = _proj_heads(p["w_qk"], h_t, num_heads, cdt)   # (B, H, d)
+    v_t = _proj_heads(p["w_v"], h_t, num_heads, cdt)
+    d = qk_t.shape[-1]
+    k_t = _len_norm(qk_t) * (d ** -0.5)
+
+    # hash the new token with the decode-fixed rotations
+    rotated = jnp.einsum("bhd,hdnr->bhnr",
+                         jax.lax.stop_gradient(qk_t).astype(jnp.float32),
+                         rotations)
+    rotated = jnp.concatenate([rotated, -rotated], axis=-1)
+    bucket_t = jnp.argmax(rotated, axis=-1).astype(jnp.int32)  # (B, H, nh)
+
+    k_cache = jax.lax.dynamic_update_slice_in_dim(
+        k_cache, k_t[:, None], t, axis=1)
+    v_cache = jax.lax.dynamic_update_slice_in_dim(
+        v_cache, v_t[:, None], t, axis=1)
+    b_cache = jax.lax.dynamic_update_slice_in_dim(
+        b_cache, bucket_t[:, :, :, None], t, axis=3)
+
+    scores = jnp.einsum("bhd,bthd->bht", qk_t, k_cache).astype(jnp.float32)
+    t_max = k_cache.shape[1]
+    pos = jnp.arange(t_max)[None, None, :]
+    scores = jnp.where(pos > t, MASK_VALUE, scores)          # causal
+    scores = jnp.where(pos == t, SELF_MASK_VALUE, scores)    # self penalty
+    # per-round bucket mask: (B,H,nh,T); the current token is always an
+    # allowed (self-penalty) target so no round is ever fully masked
+    same_bucket = b_cache == bucket_t[..., None]
+    allow_self = jnp.arange(t_max)[None, None, None, :] == t
+    scores_r = jnp.where(same_bucket | allow_self, scores[:, :, None, :],
+                         MASK_VALUE)
+    lse = jax.nn.logsumexp(scores_r, axis=-1)                # (B,H,nh)
+    probs = jnp.exp(scores_r - lse[..., None])
+    out_r = jnp.einsum("bhnt,bthd->bhnd", probs.astype(v_cache.dtype),
+                       v_cache)
+    w = jnp.exp(lse - jax.nn.logsumexp(lse, axis=-1, keepdims=True))
+    out = jnp.einsum("bhn,bhnd->bhd", w.astype(out_r.dtype), out_r)
+    out = out.reshape(out.shape[0], -1)
+    return dense(p["w_o"], out, cdt), k_cache, v_cache, b_cache
+
+
 def _cross_attn_step(p, h_t, mem_k, mem_v, memory_mask, num_heads, cdt):
     """One-frame cross-attention. mem_k/mem_v: (B, L, H, d) precomputed."""
     q = _proj_heads(p["w_q"], h_t, num_heads, cdt)
@@ -108,8 +162,9 @@ class DecodeState(NamedTuple):
     prev_frame: jnp.ndarray        # (B, n_mels)
     mel: jnp.ndarray               # (B, T_max, n_mels)
     stop_logits: jnp.ndarray       # (B, T_max)
-    qk_caches: Any                 # tuple over self-attn layers
+    qk_caches: Any                 # tuple over self-attn layers (normalized K)
     v_caches: Any
+    b_caches: Any                  # tuple of bucket caches (LSH mode) or ()
 
 
 def _init_mem_kv(params, cfg: ReformerTTSConfig, memory, cdt):
@@ -130,25 +185,35 @@ def _init_mem_kv(params, cfg: ReformerTTSConfig, memory, cdt):
 
 
 def _decoder_step(params, cfg: ReformerTTSConfig, x_t, state: DecodeState,
-                  mem_k, mem_v, memory_mask, cdt):
+                  mem_k, mem_v, memory_mask, cdt, rotations=None,
+                  num_buckets=0):
     """Run one frame through the decoder stack (two-stream recurrence).
 
-    x_t: (B, D) post-prenet+posenc frame. Returns (out (B,D), new caches)."""
+    x_t: (B, D) post-prenet+posenc frame.  ``rotations`` non-None selects
+    the LSH bucket-cache attention.  Returns (out (B,D), new state caches)."""
     dcfg = cfg.decoder
     num_heads = dcfg.attention.num_heads
     layers = params["decoder"]["layers"]
     h1 = h2 = x_t
     qk_caches = list(state.qk_caches)
     v_caches = list(state.v_caches)
+    b_caches = list(state.b_caches)
     ci = 0  # self-attn cache index
     xi = 0  # cross layer index
     for li, lp in enumerate(layers):
         is_cross = (li % 2 == 1)
         if not is_cross:
             h = layer_norm(lp["f"]["ln"], h2)
-            out, qk_caches[ci], v_caches[ci] = _self_attn_step(
-                lp["f"]["attn"], h, qk_caches[ci], v_caches[ci],
-                state.t, num_heads, cdt)
+            if rotations is not None:
+                out, qk_caches[ci], v_caches[ci], b_caches[ci] = \
+                    _self_attn_step_lsh(
+                        lp["f"]["attn"], h, qk_caches[ci], v_caches[ci],
+                        b_caches[ci], rotations[ci], state.t, num_heads,
+                        cdt, num_buckets)
+            else:
+                out, qk_caches[ci], v_caches[ci] = _self_attn_step(
+                    lp["f"]["attn"], h, qk_caches[ci], v_caches[ci],
+                    state.t, num_heads, cdt)
             ci += 1
         else:
             h = layer_norm(lp["f"]["ln"], h2)
@@ -159,7 +224,7 @@ def _decoder_step(params, cfg: ReformerTTSConfig, x_t, state: DecodeState,
         h2 = h2 + _ffn_step(lp["g"], h1, dcfg.ffn_activation, cdt)
     y = (h1 + h2) * 0.5
     y = layer_norm(params["decoder"]["final_ln"], y)
-    return y, tuple(qk_caches), tuple(v_caches)
+    return y, tuple(qk_caches), tuple(v_caches), tuple(b_caches)
 
 
 def _pos_table(params, cfg: ReformerTTSConfig):
@@ -178,7 +243,8 @@ def _pos_table(params, cfg: ReformerTTSConfig):
 
 
 def _make_step_fn(params, cfg: ReformerTTSConfig, mem_k, mem_v, memory_mask,
-                  rng, stop_threshold, teacher_mel=None):
+                  rng, stop_threshold, teacher_mel=None, rotations=None,
+                  num_buckets=0):
     cdt = _dtype(cfg.compute_dtype)
     pos_table, pos_alpha = _pos_table(params, cfg)
 
@@ -191,8 +257,9 @@ def _make_step_fn(params, cfg: ReformerTTSConfig, mem_k, mem_v, memory_mask,
                        deterministic=True, compute_dtype=cdt)
         pe = jax.lax.dynamic_slice_in_dim(pos_table, t, 1, axis=0)[0]
         h = h + pos_alpha.astype(h.dtype) * pe.astype(h.dtype)
-        y, qk_caches, v_caches = _decoder_step(
-            params, cfg, h, state, mem_k, mem_v, memory_mask, cdt)
+        y, qk_caches, v_caches, b_caches = _decoder_step(
+            params, cfg, h, state, mem_k, mem_v, memory_mask, cdt,
+            rotations=rotations, num_buckets=num_buckets)
         frame = dense(params["mel_head"], y, cdt).astype(jnp.float32)
         stop_logit = dense(params["stop_head"], y, cdt)[..., 0].astype(jnp.float32)
 
@@ -211,18 +278,25 @@ def _make_step_fn(params, cfg: ReformerTTSConfig, mem_k, mem_v, memory_mask,
         else:
             next_frame = frame
         return DecodeState(t + 1, done, lengths, next_frame, mel,
-                           stop_logits, qk_caches, v_caches)
+                           stop_logits, qk_caches, v_caches, b_caches)
 
     return step
 
 
-def _init_state(params, cfg: ReformerTTSConfig, batch: int, max_frames: int):
+def _init_state(params, cfg: ReformerTTSConfig, batch: int, max_frames: int,
+                lsh_cache: bool = False):
     cdt = _dtype(cfg.compute_dtype)
     a = cfg.decoder.attention
     n_self = cfg.decoder.num_layers
     cache_shape = (batch, max_frames, a.num_heads, a.head_dim)
     qk = tuple(jnp.zeros(cache_shape, cdt) for _ in range(n_self))
     v = tuple(jnp.zeros(cache_shape, cdt) for _ in range(n_self))
+    if lsh_cache:
+        # bucket ids are >= 0, so -1 never spuriously matches pre-fill
+        b = tuple(jnp.full((batch, a.num_heads, a.num_hashes, max_frames),
+                           -1, jnp.int32) for _ in range(n_self))
+    else:
+        b = tuple(() for _ in range(n_self))
     return DecodeState(
         t=jnp.asarray(0, jnp.int32),
         done=jnp.zeros((batch,), bool),
@@ -232,7 +306,24 @@ def _init_state(params, cfg: ReformerTTSConfig, batch: int, max_frames: int):
         stop_logits=jnp.zeros((batch, max_frames), jnp.float32),
         qk_caches=qk,
         v_caches=v,
+        b_caches=b,
     )
+
+
+def _decode_rotations(cfg: ReformerTTSConfig, rng, max_frames: int):
+    """Per-self-layer hash rotations for LSH-cached decoding."""
+    from rtts.attention.lsh import auto_num_buckets
+
+    a = cfg.decoder.attention
+    nb = a.num_buckets or auto_num_buckets(max_frames, a.chunk_length)
+    if a.hash_seed is not None:
+        rng = jax.random.PRNGKey(a.hash_seed)
+    keys = jax.random.split(rng, cfg.decoder.num_layers)
+    rots = tuple(
+        jax.random.normal(keys[i], (a.num_heads, a.head_dim, a.num_hashes,
+                                    nb // 2), jnp.float32)
+        for i in range(cfg.decoder.num_layers))
+    return rots, nb
 
 
 def decode_greedy(
@@ -243,20 +334,32 @@ def decode_greedy(
     max_frames: int,
     rng: Optional[jax.Array] = None,
     stop_threshold: Optional[float] = None,
+    mode: str = "kv_full",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Greedy AR decode -> (mel_post (B,T_max,n_mels), lengths (B,), stop_logits).
 
+    mode: "kv_full"  — full-attention KV cache (fastest; standard serving)
+          "kv_lsh"   — LSH bucket-cache attention (training-faithful
+                       restricted pattern; SURVEY.md §3.2 incremental cache)
+          "auto"     — kv_lsh when the decoder self-attention kind is lsh
     Jit-compatible: call under jax.jit with static max_frames."""
     cdt = _dtype(cfg.compute_dtype)
     if rng is None:
         rng = jax.random.PRNGKey(0)
     if stop_threshold is None:
         stop_threshold = cfg.stop_threshold
+    if mode == "auto":
+        mode = "kv_lsh" if cfg.decoder.attention.kind == "lsh" else "kv_full"
     batch = memory.shape[0]
     mem_k, mem_v = _init_mem_kv(params, cfg, memory.astype(cdt), cdt)
+    rotations, nb = (None, 0)
+    if mode == "kv_lsh":
+        rotations, nb = _decode_rotations(cfg, jax.random.fold_in(rng, 999),
+                                          max_frames)
     step = _make_step_fn(params, cfg, mem_k, mem_v, memory_mask, rng,
-                         stop_threshold)
-    state = _init_state(params, cfg, batch, max_frames)
+                         stop_threshold, rotations=rotations, num_buckets=nb)
+    state = _init_state(params, cfg, batch, max_frames,
+                        lsh_cache=(mode == "kv_lsh"))
 
     def cond(s: DecodeState):
         return (s.t < max_frames) & ~jnp.all(s.done)
