@@ -74,7 +74,11 @@ class Synthesizer:
             return np.asarray(audio)
         from rtts.audio.griffin import mel_to_audio as gl_mel_to_audio
 
-        return np.asarray(gl_mel_to_audio(jnp.asarray(mel), self.cfg.dataset.audio))
+        # Griffin-Lim needs complex FFT — run on CPU (unsupported on some
+        # TPU backends); it's the no-vocoder fallback path, not the hot path
+        with jax.default_device(jax.devices("cpu")[0]):
+            return np.asarray(gl_mel_to_audio(jnp.asarray(mel),
+                                              self.cfg.dataset.audio))
 
     def __call__(self, texts: Sequence[str], seed: int = 0) -> List[np.ndarray]:
         mel, lengths = self.text_to_mel(texts, seed)

@@ -95,8 +95,10 @@ def make_reversible(layer_fns: Sequence[Tuple[Callable, Callable]]):
 
             gy, vjp_g = jax.vjp(g_fn, p["g"], y1, memory)
             x2 = y2 - gy
-            dpg, dy1_from_g, dmem_g = vjp_g(dy2)
-            dy1 = dy1 + dy1_from_g
+            # stream cotangents ride f32; sublayers may emit bf16 — match
+            # the vjp's expected cotangent dtype, accumulate back in f32
+            dpg, dy1_from_g, dmem_g = vjp_g(dy2.astype(gy.dtype))
+            dy1 = dy1 + dy1_from_g.astype(dy1.dtype)
             dmemory = _add_cot(dmemory, dmem_g)
 
             # -- f sublayer: reconstruct X1, re-run f with cached state -----
@@ -106,8 +108,8 @@ def make_reversible(layer_fns: Sequence[Tuple[Callable, Callable]]):
 
             fx, vjp_f = jax.vjp(f_fn, p["f"], x2, memory)
             x1 = y1 - fx
-            dpf, dx2_from_f, dmem_f = vjp_f(dy1)
-            dx2 = dy2 + dx2_from_f
+            dpf, dx2_from_f, dmem_f = vjp_f(dy1.astype(fx.dtype))
+            dx2 = dy2 + dx2_from_f.astype(dy2.dtype)
             dmemory = _add_cot(dmemory, dmem_f)
 
             dparams[i] = {"f": dpf, "g": dpg}

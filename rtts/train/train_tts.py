@@ -202,8 +202,12 @@ def _run_eval(cfg, model_cfg, eval_step, params, val_ds, mesh, work,
             from rtts.audio.griffin import mel_to_audio
             from rtts.audio.wav import write_wav
 
-            wav = np.asarray(mel_to_audio(
-                jnp.asarray(post_example[:t_len]), cfg.dataset.audio, n_iter=8))
+            # Griffin-Lim uses complex FFT — not supported on every TPU
+            # backend (observed on axon); render the artifact on CPU
+            with jax.default_device(jax.devices("cpu")[0]):
+                wav = np.asarray(mel_to_audio(
+                    jnp.asarray(post_example[:t_len]), cfg.dataset.audio,
+                    n_iter=8))
             write_wav(art / f"audio_step{step}.wav", wav,
                       cfg.dataset.audio.sample_rate)
         except Exception as e:  # artifacts must never kill training
