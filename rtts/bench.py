@@ -231,6 +231,34 @@ def bench_train_step(cfg: Optional[Config] = None, batch: int = 8,
             "frames_per_sec_train": batch * mel_len / dt}
 
 
+def longform_bench_config() -> Config:
+    """BASELINE config 5: 8k-frame mel synthesis stressing LSH bucketing
+    (auto num_buckets=256 at L=8192) + decode throughput."""
+    import dataclasses
+
+    from rtts.config import from_dict
+
+    cfg = base_bench_config()
+    model = dataclasses.replace(
+        cfg.model, max_pos=8192,
+        decoder=dataclasses.replace(
+            cfg.model.decoder,
+            attention=dataclasses.replace(cfg.model.decoder.attention,
+                                          kind="full")))
+    return dataclasses.replace(cfg, model=model)
+
+
+def bench_longform(cfg: Optional[Config] = None, batch: int = 2,
+                   token_len: int = 1024, max_frames: int = 8192,
+                   repeats: int = 2) -> Dict[str, Any]:
+    """Long-form batched text->mel: 8k-frame AR decode per utterance."""
+    cfg = cfg or longform_bench_config()
+    r = bench_decode(cfg, batch=batch, token_len=token_len,
+                     max_frames=max_frames, repeats=repeats)
+    r["rtf"] = r["decode_seconds"] / (batch * max_frames / _frame_rate(cfg))
+    return r
+
+
 def run_bench(cfg: Optional[Config] = None, which: str = "e2e") -> str:
     """Returns the single JSON line the driver consumes."""
     cfg = cfg or base_bench_config()
@@ -251,6 +279,12 @@ def run_bench(cfg: Optional[Config] = None, which: str = "e2e") -> str:
         line = {"metric": "vocoder_rtf", "value": round(r["vocoder_rtf"], 5),
                 "unit": "rtf",
                 "vs_baseline": round(TARGET_RTF / r["vocoder_rtf"], 4),
+                "detail": r}
+    elif which == "longform":
+        r = bench_longform()
+        line = {"metric": "longform_8k_decode_frames_per_sec",
+                "value": round(r["frames_per_sec"], 2), "unit": "frames/s",
+                "vs_baseline": round(TARGET_RTF / r["rtf"], 4),
                 "detail": r}
     elif which == "train":
         r = bench_train_step(cfg)

@@ -100,6 +100,33 @@ def init(key: jax.Array, cfg: ReformerTTSConfig) -> Dict[str, Any]:
 # ---------------------------------------------------------------------------
 
 
+def _pad_multiple(cfg_stack) -> int:
+    """Sequence-length divisor the stack requires (Autopadder semantics —
+    SURVEY.md §3.2 'Input autopadding': chunked attention and chunked FFN
+    need multiple-of-chunk lengths; inputs are padded here at call time and
+    outputs truncated back)."""
+    import math
+
+    a = cfg_stack.attention
+    m = a.chunk_length if a.kind in ("lsh", "local") else 1
+    if cfg_stack.ffn_chunk_size > 0:
+        m = math.lcm(m, cfg_stack.ffn_chunk_size)
+    return m
+
+
+def _autopad(x: jnp.ndarray, mask: jnp.ndarray, multiple: int):
+    """Pad (B, L, ...) x and (B, L) mask to a multiple. Returns
+    (x_pad, mask_pad, orig_len)."""
+    l = x.shape[1]
+    if multiple <= 1 or l % multiple == 0:
+        return x, mask, l
+    pad = multiple - l % multiple
+    widths = [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2)
+    x = jnp.pad(x, widths)
+    mask = jnp.pad(mask, [(0, 0), (0, pad)])
+    return x, mask, l
+
+
 def _posenc(cfg: ReformerTTSConfig, params, x: jnp.ndarray) -> jnp.ndarray:
     if cfg.pos_encoding == "axial":
         return axial_posenc(params, x)
@@ -143,12 +170,16 @@ def encode(params, cfg: ReformerTTSConfig, tokens: jnp.ndarray,
     cdt = _dtype(cfg.compute_dtype)
     r0, r1, r2 = (jax.random.split(rng, 3) if rng is not None
                   else (None, None, jax.random.PRNGKey(0)))
+    tokens, token_mask, orig_len = _autopad(
+        tokens[..., None], token_mask, _pad_multiple(cfg.encoder))
+    tokens = tokens[..., 0]
     h = embedding(params["embed"], tokens, compute_dtype=cdt)
     h = encoder_prenet(params["enc_prenet"], cfg, h, r0, deterministic, cdt)
     h = _posenc(cfg, params["enc_pos"], h)
     h = h * token_mask[..., None].astype(h.dtype)
-    return stack_apply(params["encoder"], cfg.encoder, h, token_mask,
-                       rng=r2, deterministic=deterministic, compute_dtype=cdt)
+    out = stack_apply(params["encoder"], cfg.encoder, h, token_mask,
+                      rng=r2, deterministic=deterministic, compute_dtype=cdt)
+    return out[:, :orig_len]
 
 
 def decode_train(
@@ -164,6 +195,8 @@ def decode_train(
     cdt = _dtype(cfg.compute_dtype)
     r0, r1, r2 = (jax.random.split(rng, 3) if rng is not None
                   else (jax.random.PRNGKey(1), None, jax.random.PRNGKey(2)))
+    mel_input, mel_mask, orig_len = _autopad(
+        mel_input, mel_mask, _pad_multiple(cfg.decoder))
     h = prenet_mlp(params["dec_prenet"], mel_input.astype(cdt), r0,
                    cfg.dec_prenet_dropout, always_dropout=True,
                    deterministic=deterministic, compute_dtype=cdt)
@@ -172,6 +205,7 @@ def decode_train(
     h = stack_apply(params["decoder"], cfg.decoder, h, mel_mask,
                     memory=memory, memory_mask=memory_mask, rng=r2,
                     deterministic=deterministic, compute_dtype=cdt)
+    h = h[:, :orig_len]
     mel_pre = dense(params["mel_head"], h, cdt).astype(jnp.float32)
     stop_logits = dense(params["stop_head"], h, cdt)[..., 0].astype(jnp.float32)
     residual = postnet_apply(params["postnet"], cfg, mel_pre.astype(cdt), r1,
