@@ -140,6 +140,9 @@ class ReformerTTSConfig:
     # stop token head
     stop_threshold: float = 0.5
     stop_pos_weight: float = 8.0      # BCE positive-class weight (rare stops)
+    # frames emitted per decoder step (Tacotron-lineage "outputs per step"):
+    # r>1 cuts AR decode steps by r; r=1 is the reference-exact default
+    reduction_factor: int = 1
     # dtype policy
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"

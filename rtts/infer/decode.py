@@ -247,9 +247,11 @@ def _make_step_fn(params, cfg: ReformerTTSConfig, mem_k, mem_v, memory_mask,
                   num_buckets=0):
     cdt = _dtype(cfg.compute_dtype)
     pos_table, pos_alpha = _pos_table(params, cfg)
+    r = cfg.reduction_factor
+    n_mels = cfg.n_mels
 
     def step(state: DecodeState) -> DecodeState:
-        t = state.t
+        t = state.t                      # group index (== frame index if r=1)
         # prenet (always-on dropout — fresh key per step)
         k_t = jax.random.fold_in(rng, t)
         h = prenet_mlp(params["dec_prenet"], state.prev_frame.astype(cdt), k_t,
@@ -260,23 +262,26 @@ def _make_step_fn(params, cfg: ReformerTTSConfig, mem_k, mem_v, memory_mask,
         y, qk_caches, v_caches, b_caches = _decoder_step(
             params, cfg, h, state, mem_k, mem_v, memory_mask, cdt,
             rotations=rotations, num_buckets=num_buckets)
-        frame = dense(params["mel_head"], y, cdt).astype(jnp.float32)
+        group = dense(params["mel_head"], y, cdt).astype(jnp.float32)
+        frames = group.reshape(-1, r, n_mels)            # (B, r, n_mels)
         stop_logit = dense(params["stop_head"], y, cdt)[..., 0].astype(jnp.float32)
 
         mel = jax.lax.dynamic_update_slice_in_dim(
-            state.mel, frame[:, None], t, axis=1)
+            state.mel, frames, t * r, axis=1)
         stop_logits = jax.lax.dynamic_update_slice_in_dim(
-            state.stop_logits, stop_logit[:, None], t, axis=1)
+            state.stop_logits,
+            jnp.repeat(stop_logit[:, None], r, axis=1), t * r, axis=1)
         newly_done = jax.nn.sigmoid(stop_logit) > stop_threshold
         done = state.done | newly_done
-        lengths = jnp.where(state.done, state.lengths, t + 1)
+        lengths = jnp.where(state.done, state.lengths, (t + 1) * r)
         if teacher_mel is not None:
-            # the next step (t+1) consumes teacher frame t+1 (clamped slice
+            # the next step consumes the next teacher group (clamped slice
             # is harmless on the final step)
-            next_frame = jax.lax.dynamic_slice_in_dim(
-                teacher_mel, t + 1, 1, axis=1)[:, 0]
+            nxt = jax.lax.dynamic_slice_in_dim(
+                teacher_mel, (t + 1) * r, r, axis=1)
+            next_frame = nxt.reshape(nxt.shape[0], r * n_mels)
         else:
-            next_frame = frame
+            next_frame = group
         return DecodeState(t + 1, done, lengths, next_frame, mel,
                            stop_logits, qk_caches, v_caches, b_caches)
 
@@ -288,12 +293,17 @@ def _init_state(params, cfg: ReformerTTSConfig, batch: int, max_frames: int,
     cdt = _dtype(cfg.compute_dtype)
     a = cfg.decoder.attention
     n_self = cfg.decoder.num_layers
-    cache_shape = (batch, max_frames, a.num_heads, a.head_dim)
+    r = cfg.reduction_factor
+    if max_frames % r != 0:
+        raise ValueError(f"max_frames {max_frames} not a multiple of "
+                         f"reduction_factor {r}")
+    n_groups = max_frames // r
+    cache_shape = (batch, n_groups, a.num_heads, a.head_dim)
     qk = tuple(jnp.zeros(cache_shape, cdt) for _ in range(n_self))
     v = tuple(jnp.zeros(cache_shape, cdt) for _ in range(n_self))
     if lsh_cache:
         # bucket ids are >= 0, so -1 never spuriously matches pre-fill
-        b = tuple(jnp.full((batch, a.num_heads, a.num_hashes, max_frames),
+        b = tuple(jnp.full((batch, a.num_heads, a.num_hashes, n_groups),
                            -1, jnp.int32) for _ in range(n_self))
     else:
         b = tuple(() for _ in range(n_self))
@@ -301,7 +311,7 @@ def _init_state(params, cfg: ReformerTTSConfig, batch: int, max_frames: int,
         t=jnp.asarray(0, jnp.int32),
         done=jnp.zeros((batch,), bool),
         lengths=jnp.full((batch,), max_frames, jnp.int32),
-        prev_frame=jnp.zeros((batch, cfg.n_mels), jnp.float32),
+        prev_frame=jnp.zeros((batch, cfg.n_mels * r), jnp.float32),
         mel=jnp.zeros((batch, max_frames, cfg.n_mels), jnp.float32),
         stop_logits=jnp.zeros((batch, max_frames), jnp.float32),
         qk_caches=qk,
@@ -361,8 +371,10 @@ def decode_greedy(
     state = _init_state(params, cfg, batch, max_frames,
                         lsh_cache=(mode == "kv_lsh"))
 
+    n_groups = max_frames // cfg.reduction_factor
+
     def cond(s: DecodeState):
-        return (s.t < max_frames) & ~jnp.all(s.done)
+        return (s.t < n_groups) & ~jnp.all(s.done)
 
     state = jax.lax.while_loop(cond, step, state)
     # postnet over the full buffer (masked by lengths downstream)
@@ -449,11 +461,13 @@ def decode_teacher_check(
     step = _make_step_fn(params, cfg, mem_k, mem_v, memory_mask,
                          jax.random.PRNGKey(0), 10.0,
                          teacher_mel=teacher_input)
+    r = cfg.reduction_factor
     state = _init_state(params, cfg, b, t_total)
-    state = state._replace(prev_frame=teacher_input[:, 0])
+    state = state._replace(
+        prev_frame=teacher_input[:, :r].reshape(b, r * cfg.n_mels))
 
     def body(i, s):
         return step(s)
 
-    state = jax.lax.fori_loop(0, t_total, body, state)
+    state = jax.lax.fori_loop(0, t_total // r, body, state)
     return state.mel, state.stop_logits

@@ -85,11 +85,13 @@ def init(key: jax.Array, cfg: ReformerTTSConfig) -> Dict[str, Any]:
         "enc_prenet": enc_prenet,
         "enc_pos": enc_pos,
         "encoder": stack_init(ks[5], cfg.encoder, cross_attend=False, dtype=pdtype),
-        "dec_prenet": prenet_mlp_init(ks[6], cfg.n_mels, cfg.dec_prenet_hidden,
+        "dec_prenet": prenet_mlp_init(ks[6], cfg.n_mels * cfg.reduction_factor,
+                                      cfg.dec_prenet_hidden,
                                       cfg.d_model, pdtype),
         "dec_pos": dec_pos,
         "decoder": stack_init(ks[7], cfg.decoder, cross_attend=True, dtype=pdtype),
-        "mel_head": dense_init(ks[8], cfg.d_model, cfg.n_mels, dtype=pdtype),
+        "mel_head": dense_init(ks[8], cfg.d_model,
+                               cfg.n_mels * cfg.reduction_factor, dtype=pdtype),
         "stop_head": dense_init(ks[9], cfg.d_model, 1, dtype=pdtype),
         "postnet": postnet,
     }
@@ -193,9 +195,21 @@ def decode_train(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Teacher-forced decoder pass -> (mel_pre, mel_post, stop_logits)."""
     cdt = _dtype(cfg.compute_dtype)
+    r = cfg.reduction_factor
     r0, r1, r2 = (jax.random.split(rng, 3) if rng is not None
                   else (jax.random.PRNGKey(1), None, jax.random.PRNGKey(2)))
-    mel_input, mel_mask, orig_len = _autopad(
+    orig_t = mel_input.shape[1]
+    if r > 1:
+        # group r frames per decoder step (Tacotron-lineage reduction):
+        # the decoder runs at the group rate T/r
+        pad = (-orig_t) % r
+        if pad:
+            mel_input = jnp.pad(mel_input, ((0, 0), (0, pad), (0, 0)))
+            mel_mask = jnp.pad(mel_mask, ((0, 0), (0, pad)))
+        b_, tp, n_ = mel_input.shape
+        mel_input = mel_input.reshape(b_, tp // r, r * n_)
+        mel_mask = mel_mask.reshape(b_, tp // r, r).any(-1)
+    mel_input, mel_mask, orig_g = _autopad(
         mel_input, mel_mask, _pad_multiple(cfg.decoder))
     h = prenet_mlp(params["dec_prenet"], mel_input.astype(cdt), r0,
                    cfg.dec_prenet_dropout, always_dropout=True,
@@ -205,19 +219,26 @@ def decode_train(
     h = stack_apply(params["decoder"], cfg.decoder, h, mel_mask,
                     memory=memory, memory_mask=memory_mask, rng=r2,
                     deterministic=deterministic, compute_dtype=cdt)
-    h = h[:, :orig_len]
+    h = h[:, :orig_g]
     mel_pre = dense(params["mel_head"], h, cdt).astype(jnp.float32)
     stop_logits = dense(params["stop_head"], h, cdt)[..., 0].astype(jnp.float32)
+    if r > 1:
+        b_, g_, _ = mel_pre.shape
+        mel_pre = mel_pre.reshape(b_, g_ * r, cfg.n_mels)[:, :orig_t]
+        stop_logits = jnp.repeat(stop_logits, r, axis=1)[:, :orig_t]
     residual = postnet_apply(params["postnet"], cfg, mel_pre.astype(cdt), r1,
                              deterministic, cdt).astype(jnp.float32)
     mel_post = mel_pre + residual
     return mel_pre, mel_post, stop_logits
 
 
-def shift_mel(mel: jnp.ndarray) -> jnp.ndarray:
-    """Teacher forcing input: prepend a zero 'go' frame, drop the last."""
-    go = jnp.zeros_like(mel[:, :1])
-    return jnp.concatenate([go, mel[:, :-1]], axis=1)
+def shift_mel(mel: jnp.ndarray, reduction_factor: int = 1) -> jnp.ndarray:
+    """Teacher forcing input: prepend zero 'go' frame(s), drop the last.
+    With reduction r>1 the decoder consumes groups of r frames, so the
+    input shifts by a whole group."""
+    r = reduction_factor
+    go = jnp.zeros_like(mel[:, :r])
+    return jnp.concatenate([go, mel[:, :-r]], axis=1)
 
 
 def forward(
@@ -229,5 +250,6 @@ def forward(
     """Full teacher-forced forward -> (mel_pre, mel_post, stop_logits)."""
     r_enc, r_dec = (jax.random.split(rng) if rng is not None else (None, None))
     memory = encode(params, cfg, tokens, token_mask, r_enc, deterministic)
-    return decode_train(params, cfg, shift_mel(mel_target), mel_mask,
+    return decode_train(params, cfg,
+                        shift_mel(mel_target, cfg.reduction_factor), mel_mask,
                         memory, token_mask, r_dec, deterministic)
