@@ -61,29 +61,58 @@ def auto_num_buckets(seq_len: int, chunk_length: int) -> int:
     return 1 << (raw - 1).bit_length()
 
 
+def total_buckets(num_buckets) -> int:
+    """Total bucket count for an int or factorized (list) spec."""
+    if isinstance(num_buckets, int):
+        return num_buckets
+    out = 1
+    for f in num_buckets:
+        out *= f
+    return out
+
+
 def hash_vectors(
     vecs: jnp.ndarray,          # (B, H, L, d) — will be stop_gradient'd
-    num_buckets: int,
+    num_buckets,                 # int, or list of even factors (factorized)
     n_hashes: int,
     rng: jax.Array,
     mask: Optional[jnp.ndarray],  # (B, L) bool or None
-    rotations: Optional[jnp.ndarray] = None,  # (H, d, nh, nb/2) override
+    rotations: Optional[jnp.ndarray] = None,  # (H, d, nh, rot/2) override
 ) -> jnp.ndarray:
     """Random-rotation LSH -> buckets (B, H, n_hashes, L) in [0, nb] where
     bucket nb is the overflow bucket for padding tokens.
 
+    Factorized mode (``num_buckets`` a list, reference semantics for very
+    large bucket counts): one rotation block of size factor/2 per factor;
+    per-factor argmax buckets combined mixed-radix
+    (b = b0 + f0*b1 + f0*f1*b2 ...).
+
     ``rotations`` overrides the random draw — used by cross-framework
     parity tests to inject the oracle's rotation matrix."""
     b, h, l, d = vecs.shape
-    assert num_buckets % 2 == 0, "num_buckets must be even"
+    factors = [num_buckets] if isinstance(num_buckets, int) else list(num_buckets)
+    for f in factors:
+        assert f % 2 == 0, f"bucket factors must be even, got {f}"
+    rot_size = sum(factors)
     rot = rotations if rotations is not None else jax.random.normal(
-        rng, (h, d, n_hashes, num_buckets // 2), dtype=jnp.float32)
+        rng, (h, d, n_hashes, rot_size // 2), dtype=jnp.float32)
     x = jax.lax.stop_gradient(vecs).astype(jnp.float32)
     rotated = jnp.einsum("bhld,hdnr->bhnlr", x, rot)
-    rotated = jnp.concatenate([rotated, -rotated], axis=-1)
-    buckets = jnp.argmax(rotated, axis=-1).astype(jnp.int32)  # (B,H,nh,L)
+    if len(factors) == 1:
+        rotated = jnp.concatenate([rotated, -rotated], axis=-1)
+        buckets = jnp.argmax(rotated, axis=-1).astype(jnp.int32)
+    else:
+        buckets, cur_sum, cur_product = None, 0, 1
+        for f in factors:
+            rf = rotated[..., cur_sum:cur_sum + f // 2]
+            cur_sum += f // 2
+            rf = jnp.concatenate([rf, -rf], axis=-1)
+            piece = jnp.argmax(rf, axis=-1).astype(jnp.int32)
+            buckets = piece if buckets is None else buckets + cur_product * piece
+            cur_product *= f
+    nb_total = total_buckets(num_buckets)
     if mask is not None:
-        buckets = jnp.where(mask[:, None, None, :], buckets, num_buckets)
+        buckets = jnp.where(mask[:, None, None, :], buckets, nb_total)
     return buckets
 
 

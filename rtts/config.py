@@ -77,7 +77,10 @@ class AttentionConfig:
     num_heads: int = 8
     head_dim: int = 64
     num_hashes: int = 4
-    num_buckets: Optional[int] = None  # None => auto: 2*L/chunk rounded to pow2
+    # None => auto (2*L/chunk rounded to pow2); int => that many buckets;
+    # list of even factors => factorized hashing (mixed-radix combine) for
+    # very large bucket counts (reference config surface: int or 2-list)
+    num_buckets: Union[int, List[int], None] = None
     chunk_length: int = 64
     num_chunks_before: int = 1
     num_chunks_after: int = 0
@@ -104,6 +107,10 @@ class ReformerStackConfig:
     causal: bool = False
     use_pallas_ffn: bool = True   # fused LN+FFN kernel on TPU
     attention: AttentionConfig = field(default_factory=AttentionConfig)
+    # optional per-layer attention kinds (e.g. ["local","lsh","local","lsh"]
+    # — the reference lineage's interleaved attn_layers); None => all layers
+    # use attention.kind
+    attn_layers: Optional[List[str]] = None
 
 
 @dataclass(frozen=True)

@@ -324,8 +324,13 @@ def _decode_rotations(cfg: ReformerTTSConfig, rng, max_frames: int):
     """Per-self-layer hash rotations for LSH-cached decoding."""
     from rtts.attention.lsh import auto_num_buckets
 
+    from rtts.attention.lsh import total_buckets
+
     a = cfg.decoder.attention
     nb = a.num_buckets or auto_num_buckets(max_frames, a.chunk_length)
+    # decode draws fresh rotations, so a factorized training spec maps to a
+    # plain LSH with the same total bucket count here
+    nb = total_buckets(nb)
     if a.hash_seed is not None:
         rng = jax.random.PRNGKey(a.hash_seed)
     keys = jax.random.split(rng, cfg.decoder.num_layers)

@@ -70,16 +70,20 @@ def make_stack_layer_fns(
     context threaded through the reversible custom_vjp.
     """
     a = cfg.attention
+    kinds = _layer_kinds(cfg)
 
-    def f_self(params, x, memory, aux, cache):
-        h = layer_norm(params["ln"], x)
-        out, new_cache = _self_attention(
-            a.kind, params["attn"], h, aux["mask"], cfg.causal, cfg,
-            aux["rng_f"], deterministic, compute_dtype, cache,
-        )
-        out = dropout(jax.random.fold_in(aux["rng_f"], 1), out, cfg.dropout,
-                      deterministic)
-        return out, new_cache
+    def make_f_self(kind):
+        def f_self(params, x, memory, aux, cache):
+            h = layer_norm(params["ln"], x)
+            out, new_cache = _self_attention(
+                kind, params["attn"], h, aux["mask"], cfg.causal, cfg,
+                aux["rng_f"], deterministic, compute_dtype, cache,
+            )
+            out = dropout(jax.random.fold_in(aux["rng_f"], 1), out,
+                          cfg.dropout, deterministic)
+            return out, new_cache
+
+        return f_self
 
     def f_cross(params, x, memory, aux, cache):
         h = layer_norm(params["ln"], x)
@@ -106,11 +110,25 @@ def make_stack_layer_fns(
         return dropout(aux["rng_g"], out, cfg.dropout, deterministic)
 
     pairs: List[Tuple[Any, Any]] = []
-    for _ in range(cfg.num_layers):
-        pairs.append((f_self, g_ffn))
+    for li in range(cfg.num_layers):
+        pairs.append((make_f_self(kinds[li]), g_ffn))
         if cross_attend:
             pairs.append((f_cross, g_ffn))
     return pairs
+
+
+def _layer_kinds(cfg: ReformerStackConfig) -> List[str]:
+    """Per-layer self-attention kinds (interleaved attn_layers support)."""
+    if cfg.attn_layers is None:
+        return [cfg.attention.kind] * cfg.num_layers
+    if len(cfg.attn_layers) != cfg.num_layers:
+        raise ValueError(
+            f"attn_layers has {len(cfg.attn_layers)} entries for "
+            f"{cfg.num_layers} layers")
+    for k in cfg.attn_layers:
+        if k not in ("full", "lsh", "local"):
+            raise ValueError(f"unknown attention kind {k!r} in attn_layers")
+    return list(cfg.attn_layers)
 
 
 def stack_init(key, cfg: ReformerStackConfig, cross_attend: bool,

@@ -105,6 +105,56 @@ def test_hash_buckets_match_hf():
     np.testing.assert_array_equal(ours, hf_b)
 
 
+def test_factorized_buckets_match_hf():
+    """Factorized num_buckets ([4, 4]): rotation blocks + mixed-radix
+    combine must give bit-equal buckets and matching attention output."""
+    factors = [4, 4]
+    cfg_hf = ReformerConfig(
+        attention_head_size=HDIM, num_attention_heads=HEADS, num_hashes=NH,
+        num_buckets=factors, lsh_attn_chunk_length=CHUNK,
+        lsh_num_chunks_before=BEFORE, lsh_num_chunks_after=0,
+        hidden_size=HD_MODEL, is_decoder=False, attn_layers=["lsh"],
+        hash_seed=0, lsh_attention_probs_dropout_prob=0.0,
+        axial_pos_embds=False, max_position_embeddings=512)
+    torch.manual_seed(42)
+    att = LSHSelfAttention(cfg_hf)
+    att.eval()
+    x = torch.randn(HB, HL, HD_MODEL,
+                    generator=torch.Generator().manual_seed(13))
+    with torch.no_grad():
+        hf_out = att(x).hidden_states.numpy()
+
+    rot_size = sum(factors)
+    torch.manual_seed(0)
+    rot = jnp.asarray(torch.randn(HEADS, HDIM, NH, rot_size // 2).numpy())
+    params = _mapped_params(att)
+    xj = jnp.asarray(x.numpy())
+    qk = _split_heads(dense(params["w_qk"], xj), HEADS)
+    v = _split_heads(dense(params["w_v"], xj), HEADS)
+
+    buckets = hash_vectors(qk, factors, NH, jax.random.PRNGKey(0), None,
+                           rotations=rot)
+    # bucket parity vs HF's internal hashing
+    qk_t = x @ torch.from_numpy(np.asarray(params["w_qk"]["w"]))
+    qk_heads = qk_t.view(HB, HL, HEADS, HDIM).transpose(1, 2)
+    with torch.no_grad():
+        hf_b = att._hash_vectors(qk_heads, num_hashes=NH,
+                                 attention_mask=None)
+    nb_total = factors[0] * factors[1]
+    hf_b = (hf_b.view(HB, HEADS, NH, HL).numpy()
+            - (np.arange(NH) * nb_total)[None, None, :, None])
+    np.testing.assert_array_equal(np.asarray(buckets), hf_b)
+
+    cfg = AttentionConfig(kind="lsh", num_heads=HEADS, head_dim=HDIM,
+                          num_hashes=NH, num_buckets=factors,
+                          chunk_length=CHUNK, num_chunks_before=BEFORE,
+                          num_chunks_after=0, use_pallas=False)
+    out, _ = lsh_attention_core(qk, v, cfg, None, False,
+                                jax.random.PRNGKey(0), buckets=buckets)
+    ours = np.asarray(out.transpose(0, 2, 1, 3).reshape(HB, HL, -1))
+    np.testing.assert_allclose(ours, hf_out, atol=2e-4, rtol=1e-3)
+
+
 def test_full_fallback_matches_hf_short_seq():
     """seq_len <= chunk: HF runs exact full attention; so do we."""
     att, cfg_hf = _hf_attention(True, seq_len=CHUNK)
