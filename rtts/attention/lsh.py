@@ -33,7 +33,6 @@ Complexity: O(L * n_hashes * chunk * (1 + before + after)) vs O(L^2).
 
 from __future__ import annotations
 
-import math
 from typing import NamedTuple, Optional, Tuple
 
 import jax

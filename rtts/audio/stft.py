@@ -16,7 +16,6 @@ golden tests against librosa/torch fixtures line up.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax

@@ -10,7 +10,6 @@ predict, bench.
 from __future__ import annotations
 
 import pathlib
-import sys
 
 import click
 

@@ -25,7 +25,7 @@ numerics whether the stack was trained reversible or not.
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +34,6 @@ from rtts.attention.full import MASK_VALUE, SELF_MASK_VALUE, _len_norm
 from rtts.config import ReformerTTSConfig
 from rtts.models.reformer_tts import _dtype, postnet_apply
 from rtts.nn.layers import dense, layer_norm, prenet_mlp
-from rtts.nn.posenc import scaled_posenc
 
 
 # ---------------------------------------------------------------------------

@@ -9,7 +9,6 @@ profile, phase kept, overlap-add resynthesis.  Fully jitted.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ lives in rtts/ops for the vocoder hot path.
 from __future__ import annotations
 
 import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ to the params' dtype of the caller-chosen compute dtype at the model level.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

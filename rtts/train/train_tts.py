@@ -13,10 +13,9 @@ harness is an explicit jit-compiled train step over a device mesh:
 
 from __future__ import annotations
 
-import functools
 import pathlib
 import time
-from typing import Any, Dict, Iterator, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

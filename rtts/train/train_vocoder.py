@@ -16,7 +16,7 @@ from rtts.config import Config
 from rtts.data.dataset import Manifest, MelAudioDataset, split_manifest
 from rtts.models import squeezewave as SW
 from rtts.parallel.mesh import make_mesh
-from rtts.parallel.sharding import batch_sharding, replicated
+from rtts.parallel.sharding import replicated
 from rtts.train.checkpoint import (
     latest_checkpoint,
     restore_checkpoint,

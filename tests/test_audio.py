@@ -6,7 +6,6 @@ properties of the slaney convention; resampling against scipy.signal.
 """
 
 import numpy as np
-import pytest
 
 import jax.numpy as jnp
 

@@ -11,7 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rtts.models import reformer_tts as M
-from rtts.train.losses import make_stop_target, tts_loss
+from rtts.train.losses import tts_loss
 
 from tests.test_model_lsh import lsh_cfg, _batch, _loss_fn
 

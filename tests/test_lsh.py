@@ -26,9 +26,7 @@ from rtts.attention.lsh import (
     lsh_attention_core,
     lsh_self_attention,
 )
-from rtts.attention.local import local_self_attention
 from rtts.config import AttentionConfig
-from rtts.nn.layers import dense
 
 
 def _full_reference(qk, v, mask, causal):

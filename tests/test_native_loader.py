@@ -4,7 +4,7 @@ prefetch batch pipeline (SURVEY.md §3.3 native-equivalents contract)."""
 import numpy as np
 import pytest
 
-from rtts.config import AudioConfig, DatasetConfig, TextConfig
+from rtts.config import DatasetConfig, TextConfig
 from rtts.data import native_loader as nl
 
 
@@ -105,7 +105,6 @@ def test_loader_fill_crops(tmp_path):
 def test_dataset_native_path_matches_python(tmp_path):
     """TextMelDataset with num_workers>0 must produce identical batches to
     the pure-python collate."""
-    import json
 
     from rtts.data.dataset import Manifest, TextMelDataset
 

@@ -6,7 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from rtts.attention.lsh import hash_vectors, lsh_attention_core
 from rtts.config import AttentionConfig, MeshConfig

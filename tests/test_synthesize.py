@@ -8,7 +8,6 @@ import jax
 from rtts.config import Config, from_dict, to_dict
 from rtts.infer.synthesize import Synthesizer
 from rtts.models import reformer_tts as M
-from rtts.text import vocab_size
 
 from tests.test_model_m1 import tiny_cfg
 

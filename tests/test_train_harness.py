@@ -2,11 +2,8 @@
 corpus, checkpoint resume, and data-parallel consistency over the virtual
 8-device mesh (SURVEY.md §5.3 items 5-6)."""
 
-import dataclasses
 import json
-import pathlib
 
-import jax
 import numpy as np
 import pytest
 
