@@ -224,6 +224,8 @@ class ExperimentConfig:
     seed: int = 0
     max_steps: int = 10_000
     eval_batches: int = 4
+    # numerical sanitizer (SURVEY.md §6.2): raise on NaNs inside jit
+    debug_nans: bool = False
     optim: OptimConfig = field(default_factory=OptimConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     checkpoint: CheckpointConfig = field(default_factory=CheckpointConfig)

@@ -161,7 +161,7 @@ class DecodeState(NamedTuple):
     prev_frame: jnp.ndarray        # (B, n_mels)
     mel: jnp.ndarray               # (B, T_max, n_mels)
     stop_logits: jnp.ndarray       # (B, T_max)
-    qk_caches: Any                 # tuple over self-attn layers (normalized K)
+    k_caches: Any                 # tuple over self-attn layers (normalized K)
     v_caches: Any
     b_caches: Any                  # tuple of bucket caches (LSH mode) or ()
 
@@ -194,7 +194,7 @@ def _decoder_step(params, cfg: ReformerTTSConfig, x_t, state: DecodeState,
     num_heads = dcfg.attention.num_heads
     layers = params["decoder"]["layers"]
     h1 = h2 = x_t
-    qk_caches = list(state.qk_caches)
+    k_caches = list(state.k_caches)
     v_caches = list(state.v_caches)
     b_caches = list(state.b_caches)
     ci = 0  # self-attn cache index
@@ -204,14 +204,14 @@ def _decoder_step(params, cfg: ReformerTTSConfig, x_t, state: DecodeState,
         if not is_cross:
             h = layer_norm(lp["f"]["ln"], h2)
             if rotations is not None:
-                out, qk_caches[ci], v_caches[ci], b_caches[ci] = \
+                out, k_caches[ci], v_caches[ci], b_caches[ci] = \
                     _self_attn_step_lsh(
-                        lp["f"]["attn"], h, qk_caches[ci], v_caches[ci],
+                        lp["f"]["attn"], h, k_caches[ci], v_caches[ci],
                         b_caches[ci], rotations[ci], state.t, num_heads,
                         cdt, num_buckets)
             else:
-                out, qk_caches[ci], v_caches[ci] = _self_attn_step(
-                    lp["f"]["attn"], h, qk_caches[ci], v_caches[ci],
+                out, k_caches[ci], v_caches[ci] = _self_attn_step(
+                    lp["f"]["attn"], h, k_caches[ci], v_caches[ci],
                     state.t, num_heads, cdt)
             ci += 1
         else:
@@ -223,7 +223,7 @@ def _decoder_step(params, cfg: ReformerTTSConfig, x_t, state: DecodeState,
         h2 = h2 + _ffn_step(lp["g"], h1, dcfg.ffn_activation, cdt)
     y = (h1 + h2) * 0.5
     y = layer_norm(params["decoder"]["final_ln"], y)
-    return y, tuple(qk_caches), tuple(v_caches), tuple(b_caches)
+    return y, tuple(k_caches), tuple(v_caches), tuple(b_caches)
 
 
 def _pos_table(params, cfg: ReformerTTSConfig):
@@ -258,7 +258,7 @@ def _make_step_fn(params, cfg: ReformerTTSConfig, mem_k, mem_v, memory_mask,
                        deterministic=True, compute_dtype=cdt)
         pe = jax.lax.dynamic_slice_in_dim(pos_table, t, 1, axis=0)[0]
         h = h + pos_alpha.astype(h.dtype) * pe.astype(h.dtype)
-        y, qk_caches, v_caches, b_caches = _decoder_step(
+        y, k_caches, v_caches, b_caches = _decoder_step(
             params, cfg, h, state, mem_k, mem_v, memory_mask, cdt,
             rotations=rotations, num_buckets=num_buckets)
         group = dense(params["mel_head"], y, cdt).astype(jnp.float32)
@@ -282,7 +282,7 @@ def _make_step_fn(params, cfg: ReformerTTSConfig, mem_k, mem_v, memory_mask,
         else:
             next_frame = group
         return DecodeState(t + 1, done, lengths, next_frame, mel,
-                           stop_logits, qk_caches, v_caches, b_caches)
+                           stop_logits, k_caches, v_caches, b_caches)
 
     return step
 
@@ -313,7 +313,7 @@ def _init_state(params, cfg: ReformerTTSConfig, batch: int, max_frames: int,
         prev_frame=jnp.zeros((batch, cfg.n_mels * r), jnp.float32),
         mel=jnp.zeros((batch, max_frames, cfg.n_mels), jnp.float32),
         stop_logits=jnp.zeros((batch, max_frames), jnp.float32),
-        qk_caches=qk,
+        k_caches=qk,
         v_caches=v,
         b_caches=b,
     )

@@ -90,6 +90,10 @@ def train_tts(cfg: Config, workdir: str, max_steps: Optional[int] = None,
     work.mkdir(parents=True, exist_ok=True)
     exp = cfg.experiment
     max_steps = max_steps if max_steps is not None else exp.max_steps
+    if exp.debug_nans:
+        from rtts.utils.profiling import enable_nan_debugging
+
+        enable_nan_debugging()
 
     from rtts.config import save_config
     save_config(cfg, work / "config.yaml")
