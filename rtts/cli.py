@@ -148,14 +148,19 @@ def predict(cfg: Config, text, tts_ckpt, vocoder_ckpt, out_dir, max_frames, seed
 
 @cli.command()
 @click.option("--which", default="decode",
-              type=click.Choice(["decode", "e2e", "vocoder", "train"]))
+              type=click.Choice(["decode", "e2e", "vocoder", "train",
+                                 "longform", "all"]))
 @click.pass_obj
 def bench(cfg: Config, which):
-    """Run the benchmark harness and print a JSON line."""
+    """Run the benchmark harness and print JSON line(s)."""
     from rtts.bench import run_bench
+    from rtts.utils.profiling import enable_compilation_cache
 
-    result = run_bench(cfg, which)
-    click.echo(result)
+    enable_compilation_cache()
+    modes = (["decode", "e2e", "vocoder", "train", "longform"]
+             if which == "all" else [which])
+    for m in modes:
+        click.echo(run_bench(cfg, m))
 
 
 def main():
