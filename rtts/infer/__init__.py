@@ -1,4 +1,16 @@
-from rtts.infer.decode import decode_greedy, decode_teacher_check
+from rtts.infer.decode import (
+    decode_greedy,
+    decode_greedy_recompute,
+    decode_teacher_check,
+)
+from rtts.infer.streaming import StreamingSynthesizer
 from rtts.infer.synthesize import synthesize, Synthesizer
 
-__all__ = ["decode_greedy", "decode_teacher_check", "synthesize", "Synthesizer"]
+__all__ = [
+    "decode_greedy",
+    "decode_greedy_recompute",
+    "decode_teacher_check",
+    "synthesize",
+    "Synthesizer",
+    "StreamingSynthesizer",
+]
