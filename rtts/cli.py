@@ -116,12 +116,14 @@ def predict(cfg: Config, text, tts_ckpt, vocoder_ckpt, out_dir, max_frames, seed
     from rtts.infer.synthesize import Synthesizer
     from rtts.models import reformer_tts as M
     from rtts.models import squeezewave as SW
-    from rtts.text import vocab_size
+    from rtts.text import frontend_vocab_size
     from rtts.train.checkpoint import latest_checkpoint, restore_checkpoint
 
     model_cfg = cfg.model
     if model_cfg.vocab_size <= 0:
-        model_cfg = dataclasses.replace(model_cfg, vocab_size=vocab_size())
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            vocab_size=frontend_vocab_size(cfg.dataset.text.level))
     params = M.init(jax.random.PRNGKey(0), model_cfg)
     if tts_ckpt:
         path = latest_checkpoint(tts_ckpt) or tts_ckpt

@@ -47,6 +47,7 @@ class TextConfig:
     """Text frontend: cleaning + tokenization to a fixed symbol set."""
 
     cleaner: str = "english"          # "english" | "basic" | "identity"
+    level: str = "char"               # "char" | "phoneme" (ARPAbet input)
     lowercase: bool = True
     # pad/eos ids are fixed by the symbol table (pad=0, eos=1)
     max_len: int = 512                # static-shape budget for token ids

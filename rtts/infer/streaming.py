@@ -115,7 +115,7 @@ class StreamingSynthesizer:
 
         tokens, tmask = encode_batch(list(texts), cleaner=tcfg.cleaner,
                                      pad_to_multiple=tcfg.pad_to_multiple,
-                                     max_len=tcfg.max_len)
+                                     max_len=tcfg.max_len, level=tcfg.level)
         tokens, tmask = jnp.asarray(tokens), jnp.asarray(tmask)
         params = self.tts_params
         memory = self._encode(params, tokens, tmask)

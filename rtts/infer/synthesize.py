@@ -46,7 +46,7 @@ class Synthesizer:
         tcfg = self.cfg.dataset.text
         tokens, mask = encode_batch(texts, cleaner=tcfg.cleaner,
                                     pad_to_multiple=tcfg.pad_to_multiple,
-                                    max_len=tcfg.max_len)
+                                    max_len=tcfg.max_len, level=tcfg.level)
         mel, lengths, _ = self._decode_jit(
             self.tts_params, jnp.asarray(tokens), jnp.asarray(mask),
             jax.random.PRNGKey(seed), max_frames=self.max_frames)

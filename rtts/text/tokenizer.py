@@ -47,13 +47,21 @@ def encode_batch(
     cleaner: str = "english",
     pad_to_multiple: int = 64,
     max_len: Optional[int] = None,
+    level: str = "char",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Encode a batch of strings to (ids, mask) int32/bool arrays.
 
-    All rows are padded to one common length: the longest (text+eos) length
-    rounded up to ``pad_to_multiple`` (and clamped to ``max_len`` if given,
-    which must itself be a multiple)."""
-    seqs = [text_to_ids(t, cleaner) for t in texts]
+    level="char": cleaned characters; level="phoneme": space-separated
+    ARPAbet tokens (see rtts.text.phonemes).  All rows are padded to one
+    common length: the longest (text+eos) length rounded up to
+    ``pad_to_multiple`` (and clamped to ``max_len`` if given, which must
+    itself be a multiple)."""
+    if level == "phoneme":
+        from rtts.text.phonemes import phonemes_to_ids
+
+        seqs = [phonemes_to_ids(t) for t in texts]
+    else:
+        seqs = [text_to_ids(t, cleaner) for t in texts]
     longest = max(len(s) for s in seqs)
     target = _round_up(longest, pad_to_multiple)
     if max_len is not None:

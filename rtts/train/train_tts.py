@@ -112,9 +112,10 @@ def train_tts(cfg: Config, workdir: str, max_steps: Optional[int] = None,
     # -- model / optimizer / mesh ------------------------------------------
     model_cfg = cfg.model
     if model_cfg.vocab_size <= 0:
-        from rtts.text import vocab_size
+        from rtts.text import frontend_vocab_size
         import dataclasses
-        model_cfg = dataclasses.replace(model_cfg, vocab_size=vocab_size())
+        model_cfg = dataclasses.replace(
+            model_cfg, vocab_size=frontend_vocab_size(cfg.dataset.text.level))
     mesh = make_mesh(exp.mesh)
     optimizer = make_optimizer(exp.optim)
 
