@@ -288,9 +288,13 @@ def run_bench(cfg: Optional[Config] = None, which: str = "e2e") -> str:
                 "detail": r}
     elif which == "train":
         r = bench_train_step(cfg)
+        # anchor: multiples of real-time audio consumed per train second
+        # (>1 = the step processes mel faster than the audio plays)
         line = {"metric": "train_frames_per_sec", "unit": "frames/s",
                 "value": round(r["frames_per_sec_train"], 2),
-                "vs_baseline": 0.0, "detail": r}
+                "vs_baseline": round(
+                    r["frames_per_sec_train"] / _frame_rate(cfg), 4),
+                "detail": r}
     else:
         raise ValueError(f"unknown bench {which!r}")
     return json.dumps(line)

@@ -32,6 +32,10 @@ def cli(ctx, config_path, overrides, platform):
 
         jax.config.update("jax_platforms", platform)
     ctx.obj = load_config(config_path, list(overrides))
+    # multi-host init must precede first backend use; no-op single-process
+    from rtts.parallel.mesh import initialize_distributed
+
+    initialize_distributed(ctx.obj.experiment.mesh)
 
 
 @cli.command()

@@ -193,13 +193,21 @@ class OptimConfig:
 
 @dataclass(frozen=True)
 class MeshConfig:
-    """SPMD device-mesh layout (SURVEY.md §6.8)."""
+    """SPMD device-mesh layout + multi-host init (SURVEY.md §6.8)."""
 
     data_axis: str = "data"
     model_axis: str = "model"
+    dcn_axis: str = "dcn"
     # -1 => use all available devices along the data axis
     data_parallel: int = -1
     model_parallel: int = 1
+    # >1 adds an outermost cross-slice (DCN) data-parallel axis
+    dcn_parallel: int = 1
+    # multi-host: set coordinator_address (host:port) and num_processes /
+    # process_id per host, or rely on cluster env auto-detection
+    coordinator_address: Optional[str] = None
+    num_processes: int = 1
+    process_id: int = 0
 
 
 @dataclass(frozen=True)

@@ -193,7 +193,9 @@ class StreamingSynthesizer:
                 else:
                     yield mel_post_buf[:, emitted:ready].copy()
                 emitted = ready
-            if finished and emitted >= min(T, t_frames + (
-                    pn_ctx if self.vocoder_params is None else pn_ctx)):
+            # termination: once finished, pn_target (and hence `ready`)
+            # saturates at min(T, t_frames + pn_ctx) for both the mel-only
+            # and the vocoded path — everything final has been emitted.
+            if finished and emitted >= min(T, t_frames + pn_ctx):
                 break
         self.last_lengths = np.asarray(state.lengths)

@@ -140,14 +140,12 @@ def lsh_attention_seq_parallel(
 
     if mask is None:
         mask = jnp.ones((b, l), bool)
-    from jax.experimental.shard_map import shard_map
-
-    fn = shard_map(
+    fn = jax.shard_map(
         local_fn, mesh=mesh,
         in_specs=(P(None, None, axis, None), P(None, None, axis, None),
                   P(None, axis)),
         out_specs=P(None, None, axis, None),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(qk, v, mask)
 

@@ -25,7 +25,7 @@ import optax
 from rtts.config import Config
 from rtts.data.dataset import Manifest, TextMelDataset, split_manifest
 from rtts.models import reformer_tts as M
-from rtts.parallel.mesh import make_mesh
+from rtts.parallel.mesh import initialize_distributed, make_mesh
 from rtts.parallel.sharding import batch_sharding, replicated
 from rtts.train.checkpoint import (
     latest_checkpoint,
@@ -96,7 +96,8 @@ def train_tts(cfg: Config, workdir: str, max_steps: Optional[int] = None,
         enable_nan_debugging()
 
     from rtts.config import save_config
-    save_config(cfg, work / "config.yaml")
+    if jax.process_index() == 0:
+        save_config(cfg, work / "config.yaml")
 
     # -- data ---------------------------------------------------------------
     man = Manifest.load(manifest_path or
@@ -116,6 +117,7 @@ def train_tts(cfg: Config, workdir: str, max_steps: Optional[int] = None,
         import dataclasses
         model_cfg = dataclasses.replace(
             model_cfg, vocab_size=frontend_vocab_size(cfg.dataset.text.level))
+    initialize_distributed(exp.mesh)
     mesh = make_mesh(exp.mesh)
     optimizer = make_optimizer(exp.optim)
 
@@ -140,8 +142,11 @@ def train_tts(cfg: Config, workdir: str, max_steps: Optional[int] = None,
                              donate_argnums=(0, 1))
         eval_step = jax.jit(make_eval_step(model_cfg))
 
+        # host IO (metrics, checkpoints, artifacts) is process-0 only;
+        # every process still executes the SPMD train/eval computation
+        is_main = jax.process_index() == 0
         logger = MetricLogger(str(work / exp.logging.jsonl_path),
-                              exp.logging.tensorboard_dir)
+                              exp.logging.tensorboard_dir) if is_main else None
         last_metrics: Dict[str, Any] = {}
         t_last = time.time()
         for step in range(step0, max_steps):
@@ -155,24 +160,28 @@ def train_tts(cfg: Config, workdir: str, max_steps: Optional[int] = None,
                 metrics["steps_per_sec"] = (
                     exp.logging.log_every_steps / max(now - t_last, 1e-6))
                 t_last = now
-                logger.log(step + 1, metrics, prefix="train/")
+                if is_main:
+                    logger.log(step + 1, metrics, prefix="train/")
                 last_metrics = metrics
 
             if (step + 1) % exp.logging.eval_every_steps == 0 or step + 1 == max_steps:
                 val_metrics = _run_eval(cfg, model_cfg, eval_step, params,
-                                        val_ds, mesh, work, step + 1)
-                logger.log(step + 1, val_metrics, prefix="val/")
-                save_checkpoint(ckpt_dir,
-                                {"params": params, "opt_state": opt_state},
-                                step + 1,
-                                metric=float(val_metrics.get("loss", 0.0)),
-                                keep=exp.checkpoint.keep)
-        logger.close()
+                                        val_ds, mesh, work, step + 1,
+                                        artifacts=is_main)
+                if is_main:
+                    logger.log(step + 1, val_metrics, prefix="val/")
+                    save_checkpoint(
+                        ckpt_dir, {"params": params, "opt_state": opt_state},
+                        step + 1,
+                        metric=float(val_metrics.get("loss", 0.0)),
+                        keep=exp.checkpoint.keep)
+        if is_main:
+            logger.close()
     return last_metrics
 
 
 def _run_eval(cfg, model_cfg, eval_step, params, val_ds, mesh, work,
-              step) -> Dict[str, float]:
+              step, artifacts: bool = True) -> Dict[str, float]:
     agg: Dict[str, float] = {}
     n = 0
     post_example = None
@@ -193,7 +202,7 @@ def _run_eval(cfg, model_cfg, eval_step, params, val_ds, mesh, work,
     out = {k: v / max(n, 1) for k, v in agg.items()}
 
     # artifact discipline: predicted-vs-target mel PNG + rendered wav
-    if post_example is not None:
+    if post_example is not None and artifacts:
         try:
             from rtts.data.visualize import plot_spectrogram
 

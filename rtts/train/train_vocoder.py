@@ -15,7 +15,7 @@ import optax
 from rtts.config import Config
 from rtts.data.dataset import Manifest, MelAudioDataset, split_manifest
 from rtts.models import squeezewave as SW
-from rtts.parallel.mesh import make_mesh
+from rtts.parallel.mesh import initialize_distributed, make_mesh
 from rtts.parallel.sharding import replicated
 from rtts.train.checkpoint import (
     latest_checkpoint,
@@ -44,6 +44,16 @@ def make_train_step(voc_cfg, optimizer):
     return train_step
 
 
+def make_eval_step(voc_cfg):
+    def eval_step(params, batch):
+        z, log_s, log_det = SW.forward(params, voc_cfg, batch["mel"],
+                                       batch["audio"])
+        _, metrics = squeezewave_loss(z, log_s, log_det, voc_cfg.sigma)
+        return metrics
+
+    return eval_step
+
+
 def train_vocoder(cfg: Config, workdir: str, max_steps: Optional[int] = None,
                   manifest_path: Optional[str] = None) -> Dict[str, Any]:
     work = pathlib.Path(workdir)
@@ -53,16 +63,19 @@ def train_vocoder(cfg: Config, workdir: str, max_steps: Optional[int] = None,
     max_steps = max_steps if max_steps is not None else exp.max_steps
 
     from rtts.config import save_config
-    save_config(cfg, work / "config.yaml")
+    if jax.process_index() == 0:
+        save_config(cfg, work / "config.yaml")
 
     man = Manifest.load(manifest_path or
                         pathlib.Path(cfg.dataset.data_dir) / cfg.dataset.manifest)
     train_man, val_man = split_manifest(man, cfg.dataset.val_fraction,
                                         cfg.dataset.split_seed)
     train_ds = MelAudioDataset(train_man, cfg.dataset, voc.audio_segment_length)
+    val_ds = MelAudioDataset(val_man, cfg.dataset, voc.audio_segment_length)
     train_iter = train_ds.batches(cfg.dataset.batch_size,
                                   seed=cfg.dataset.shuffle_seed)
 
+    initialize_distributed(exp.mesh)
     mesh = make_mesh(exp.mesh)
     optimizer = make_optimizer(exp.optim)
     params = SW.init(jax.random.PRNGKey(exp.seed), voc)
@@ -83,10 +96,12 @@ def train_vocoder(cfg: Config, workdir: str, max_steps: Optional[int] = None,
         opt_state = jax.device_put(opt_state, replicated(mesh))
         train_step = jax.jit(make_train_step(voc, optimizer),
                              donate_argnums=(0, 1))
+        eval_step = jax.jit(make_eval_step(voc))
         infer_jit = jax.jit(lambda p, mel, rng: SW.infer(p, voc, mel, rng=rng))
 
+        is_main = jax.process_index() == 0
         logger = MetricLogger(str(work / exp.logging.jsonl_path),
-                              exp.logging.tensorboard_dir)
+                              exp.logging.tensorboard_dir) if is_main else None
         last: Dict[str, Any] = {}
         t_last = time.time()
         from rtts.train.train_tts import _shard_batch
@@ -101,28 +116,44 @@ def train_vocoder(cfg: Config, workdir: str, max_steps: Optional[int] = None,
                 metrics["steps_per_sec"] = (
                     exp.logging.log_every_steps / max(now - t_last, 1e-6))
                 t_last = now
-                logger.log(step + 1, metrics, prefix="train/")
+                if is_main:
+                    logger.log(step + 1, metrics, prefix="train/")
                 last = metrics
 
             if (step + 1) % exp.logging.eval_every_steps == 0 or step + 1 == max_steps:
-                # artifact: render one validation mel window to audio
-                try:
-                    val_ds = MelAudioDataset(val_man, cfg.dataset,
-                                             voc.audio_segment_length)
-                    vb = val_ds.sample(np.random.default_rng(0), 1)
-                    wav = np.asarray(infer_jit(params, jnp.asarray(vb["mel"]),
-                                               jax.random.PRNGKey(0))[0])
-                    from rtts.audio.wav import write_wav
+                # held-out flow NLL: checkpoint top-k ranks on THIS, not the
+                # noisy train loss (the crops are drawn with a fixed seed so
+                # the val metric is comparable across evals)
+                val_rng = np.random.default_rng(1234)
+                agg: Dict[str, float] = {}
+                n_val = 0
+                for _ in range(max(1, exp.eval_batches)):
+                    vb = val_ds.sample(val_rng, cfg.dataset.batch_size)
+                    vm = jax.device_get(eval_step(params, _shard_batch(vb, mesh)))
+                    for k, v in vm.items():
+                        agg[k] = agg.get(k, 0.0) + float(v)
+                    n_val += 1
+                val_metrics = {k: v / n_val for k, v in agg.items()}
+                last["val_loss_vocoder"] = val_metrics.get("loss_vocoder")
+                if is_main:
+                    logger.log(step + 1, val_metrics, prefix="val/")
+                    # artifact: render one validation mel window to audio
+                    try:
+                        vb = val_ds.sample(np.random.default_rng(0), 1)
+                        wav = np.asarray(infer_jit(params, jnp.asarray(vb["mel"]),
+                                                   jax.random.PRNGKey(0))[0])
+                        from rtts.audio.wav import write_wav
 
-                    art = work / exp.logging.artifacts_dir
-                    write_wav(art / f"vocoder_step{step + 1}.wav",
-                              np.clip(wav, -1, 1), voc.sample_rate)
-                except Exception as e:
-                    print(f"vocoder eval artifact failed: {e}")
-                save_checkpoint(ckpt_dir,
-                                {"params": params, "opt_state": opt_state},
-                                step + 1,
-                                metric=float(last.get("loss_vocoder", 0.0)),
-                                keep=exp.checkpoint.keep)
-        logger.close()
+                        art = work / exp.logging.artifacts_dir
+                        write_wav(art / f"vocoder_step{step + 1}.wav",
+                                  np.clip(wav, -1, 1), voc.sample_rate)
+                    except Exception as e:
+                        print(f"vocoder eval artifact failed: {e}")
+                    save_checkpoint(
+                        ckpt_dir, {"params": params, "opt_state": opt_state},
+                        step + 1,
+                        metric=float(val_metrics.get("loss_vocoder", 0.0)),
+                        keep=exp.checkpoint.keep)
+        if is_main:
+            logger.close()
     return last
