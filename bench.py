@@ -16,12 +16,16 @@ def main():
     from rtts.utils.profiling import enable_compilation_cache
 
     enable_compilation_cache()
-    from rtts.bench import base_bench_config, run_bench
+    from rtts.bench import flagship_bench_config, run_bench
 
-    line = run_bench(base_bench_config(), which="e2e")
+    # headline = e2e RTF at the FLAGSHIP scale (configs/base.yaml:
+    # d_model 512, 6+6 layers, LSH enc+dec) — not the lighter base config
+    line = run_bench(flagship_bench_config(), which="e2e")
     # the driver expects exactly one JSON line on stdout
     d = json.loads(line)
-    d.pop("detail", None)
+    detail = d.pop("detail", {}) or {}
+    if detail.get("mfu") is not None:
+        d["mfu"] = round(detail["mfu"], 5)
     print(json.dumps(d))
 
 

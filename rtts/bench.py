@@ -45,6 +45,47 @@ def _frame_rate(cfg: Config) -> float:
     return cfg.dataset.audio.sample_rate / cfg.dataset.audio.hop_length
 
 
+# -- MFU ----------------------------------------------------------------------
+# Peak dense bf16 FLOP/s per chip (public spec sheets).
+_PEAK_BF16_FLOPS = {
+    "TPU v6": 918e12,       # v6e
+    "TPU v5p": 459e12,
+    "TPU v5 lite": 197e12,  # v5e
+    "TPU v5": 197e12,
+    "TPU v4": 275e12,
+}
+
+
+def _device_peak_flops() -> Optional[float]:
+    kind = jax.devices()[0].device_kind
+    # longest-prefix match so "TPU v5 lite" beats "TPU v5"
+    best = None
+    for k, v in sorted(_PEAK_BF16_FLOPS.items(), key=lambda kv: -len(kv[0])):
+        if kind.startswith(k):
+            best = v
+            break
+    return best
+
+
+def _compiled_flops(fn, *args) -> Optional[float]:
+    """Exact FLOPs of the compiled computation via XLA cost analysis
+    (verified exact for matmuls on the axon TPU). None when unavailable."""
+    try:
+        ca = jax.jit(fn).lower(*args).compile().cost_analysis()
+        d = ca if isinstance(ca, dict) else ca[0]
+        f = float(d.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+def _mfu(flops: Optional[float], seconds: float) -> Optional[float]:
+    peak = _device_peak_flops()
+    if flops is None or peak is None or seconds <= 0:
+        return None
+    return flops / seconds / peak
+
+
 def base_bench_config() -> Config:
     """BASELINE config 1: base LSH (4 hashes, chunk 64), batch-8 synthesis."""
     from rtts.config import from_dict
@@ -72,6 +113,19 @@ def base_bench_config() -> Config:
     })
 
 
+def flagship_bench_config() -> Config:
+    """The advertised flagship (configs/base.yaml): d_model 512, 6+6
+    layers, LSH encoder AND decoder, reversible + chunked FFN, bf16."""
+    import pathlib
+
+    from rtts.config import load_config
+    from rtts.text import vocab_size
+
+    path = pathlib.Path(__file__).resolve().parents[1] / "configs" / "base.yaml"
+    return load_config(str(path) if path.exists() else None,
+                       [f"model.vocab_size={vocab_size()}"])
+
+
 def _build(cfg: Config):
     from rtts.models import reformer_tts as M
 
@@ -79,9 +133,57 @@ def _build(cfg: Config):
     return params
 
 
+def _decode_flops(cfg: Config, params, batch: int, token_len: int,
+                  max_frames: int, mode: str = "kv_full") -> Optional[float]:
+    """Analytic total FLOPs of encode + AR decode + postnet, assembled from
+    exact per-piece XLA cost analysis (the while_loop trip count is known:
+    stop_threshold=2.0 forces the full max_frames)."""
+    from rtts.infer.decode import (
+        _decode_rotations, _init_mem_kv, _init_state, _make_step_fn, _dtype)
+    from rtts.models import reformer_tts as M
+    from rtts.models.reformer_tts import postnet_apply
+
+    mcfg = cfg.model
+    tokens = jnp.ones((batch, token_len), jnp.int32)
+    tmask = jnp.ones((batch, token_len), bool)
+    enc = lambda p, t, m: M.encode(p, mcfg, t, m, deterministic=True)
+    f_enc = _compiled_flops(enc, params, tokens, tmask)
+
+    cdt = _dtype(mcfg.compute_dtype)
+    memory = jnp.zeros((batch, token_len, mcfg.d_model), cdt)
+    mem_k, mem_v = _init_mem_kv(params, mcfg, memory, cdt)
+    if mode == "auto":
+        mode = ("kv_lsh_chunk" if mcfg.decoder.attention.kind == "lsh"
+                else "kv_full")
+    rotations, nb = (None, 0)
+    if mode in ("kv_lsh", "kv_lsh_chunk"):
+        rotations, nb = _decode_rotations(mcfg, jax.random.PRNGKey(9),
+                                          max_frames)
+    step = _make_step_fn(params, mcfg, mem_k, mem_v, tmask,
+                         jax.random.PRNGKey(0), 2.0, rotations=rotations,
+                         num_buckets=nb)
+    a = mcfg.decoder.attention
+    ring_cap = a.chunk_length * (1 + a.num_chunks_before + a.num_chunks_after)
+    state = _init_state(
+        params, mcfg, batch, max_frames, lsh_cache=(mode == "kv_lsh"),
+        ring_buckets=(nb if mode == "kv_lsh_chunk" else 0),
+        ring_capacity=min(ring_cap, max_frames // mcfg.reduction_factor))
+    f_step = _compiled_flops(step, state)
+
+    mel = jnp.zeros((batch, max_frames, mcfg.n_mels), jnp.float32)
+    pn = lambda p, m: postnet_apply(p["postnet"], mcfg, m.astype(cdt),
+                                    None, True, cdt)
+    f_pn = _compiled_flops(pn, params, mel)
+
+    n_groups = max_frames // mcfg.reduction_factor
+    if f_enc is None or f_step is None:
+        return None
+    return f_enc + n_groups * f_step + (f_pn or 0.0)
+
+
 def bench_decode(cfg: Optional[Config] = None, batch: int = 8,
                  token_len: int = 256, max_frames: int = 512,
-                 repeats: int = 3) -> Dict[str, Any]:
+                 repeats: int = 3, mode: str = "kv_full") -> Dict[str, Any]:
     """Batched greedy AR decode throughput: mel frames/sec/chip."""
     from rtts.infer.decode import decode_greedy
     from rtts.models import reformer_tts as M
@@ -97,7 +199,8 @@ def bench_decode(cfg: Optional[Config] = None, batch: int = 8,
         memory = M.encode(p, cfg.model, tok, msk, deterministic=True)
         # stop_threshold > 1: force a full-length decode for stable timing
         return decode_greedy(p, cfg.model, memory, msk,
-                             max_frames=max_frames, stop_threshold=2.0)
+                             max_frames=max_frames, stop_threshold=2.0,
+                             mode=mode)
 
     mel, lengths, _ = _sync(run(params, tokens, tmask))  # warmup/compile
     times = []
@@ -107,11 +210,15 @@ def bench_decode(cfg: Optional[Config] = None, batch: int = 8,
         times.append(time.perf_counter() - t0)
     dt = min(times)
     frames = batch * max_frames
+    flops = _decode_flops(cfg, params, batch, token_len, max_frames, mode)
     return {
         "frames_per_sec": frames / dt,
         "decode_seconds": dt,
         "batch": batch,
         "max_frames": max_frames,
+        "mode": mode,
+        "flops": flops,
+        "mfu": _mfu(flops, dt),
         "device": str(jax.devices()[0]),
     }
 
@@ -154,6 +261,14 @@ def bench_e2e(cfg: Optional[Config] = None, batch: int = 8,
     dt = min(times)
     audio_seconds = batch * max_frames / _frame_rate(cfg)
     rtf = dt / audio_seconds
+    flops = _decode_flops(cfg, params, batch, token_len, max_frames)
+    if flops is not None and use_vocoder:
+        mel0 = jnp.zeros((batch, max_frames, cfg.vocoder.n_mels), jnp.float32)
+        f_voc = _compiled_flops(
+            lambda p, m: SW.infer(p, cfg.vocoder, m,
+                                  rng=jax.random.PRNGKey(0), folded=True),
+            voc_params, mel0)
+        flops = flops + f_voc if f_voc is not None else None
     return {
         "rtf": rtf,
         "wall_seconds": dt,
@@ -161,6 +276,8 @@ def bench_e2e(cfg: Optional[Config] = None, batch: int = 8,
         "batch": batch,
         "max_frames": max_frames,
         "vocoder": bool(use_vocoder),
+        "flops": flops,
+        "mfu": _mfu(flops, dt),
         "device": str(jax.devices()[0]),
     }
 
@@ -184,8 +301,11 @@ def bench_vocoder(cfg: Optional[Config] = None, batch: int = 8,
         times.append(time.perf_counter() - t0)
     dt = min(times)
     audio_seconds = batch * mel_frames * voc.hop_length / voc.sample_rate
+    flops = _compiled_flops(lambda p, m: SW.infer(
+        p, voc, m, rng=jax.random.PRNGKey(0), folded=True), params, mel)
     return {"vocoder_rtf": dt / audio_seconds, "wall_seconds": dt,
-            "audio_seconds": audio_seconds}
+            "audio_seconds": audio_seconds,
+            "flops": flops, "mfu": _mfu(flops, dt)}
 
 
 def bench_train_step(cfg: Optional[Config] = None, batch: int = 8,
@@ -227,16 +347,17 @@ def bench_train_step(cfg: Optional[Config] = None, batch: int = 8,
             step(params, opt_state, jax.random.fold_in(rng, i)))
         times.append(time.perf_counter() - t0)
     dt = min(times)
+    flops = _compiled_flops(step, params, opt_state, rng)
     return {"train_step_seconds": dt,
-            "frames_per_sec_train": batch * mel_len / dt}
+            "frames_per_sec_train": batch * mel_len / dt,
+            "flops": flops, "mfu": _mfu(flops, dt)}
 
 
 def longform_bench_config() -> Config:
     """BASELINE config 5: 8k-frame mel synthesis stressing LSH bucketing
-    (auto num_buckets=256 at L=8192) + decode throughput."""
+    (auto num_buckets=256 at L=8192) + decode throughput.  The decoder
+    keeps kind="lsh" so the O(chunk) ring-buffer decode is exercised."""
     import dataclasses
-
-    from rtts.config import from_dict
 
     cfg = base_bench_config()
     model = dataclasses.replace(
@@ -244,24 +365,146 @@ def longform_bench_config() -> Config:
         decoder=dataclasses.replace(
             cfg.model.decoder,
             attention=dataclasses.replace(cfg.model.decoder.attention,
-                                          kind="full")))
+                                          kind="lsh")))
     return dataclasses.replace(cfg, model=model)
 
 
 def bench_longform(cfg: Optional[Config] = None, batch: int = 2,
                    token_len: int = 1024, max_frames: int = 8192,
-                   repeats: int = 2) -> Dict[str, Any]:
-    """Long-form batched text->mel: 8k-frame AR decode per utterance."""
+                   repeats: int = 2, mode: str = "auto") -> Dict[str, Any]:
+    """Long-form batched text->mel: 8k-frame AR decode per utterance.
+
+    mode="auto" routes an LSH decoder through the O(chunk) ring-buffer
+    cache (kv_lsh_chunk) — per-step attention touches nh*C keys instead of
+    the whole 8k prefix."""
     cfg = cfg or longform_bench_config()
     r = bench_decode(cfg, batch=batch, token_len=token_len,
-                     max_frames=max_frames, repeats=repeats)
+                     max_frames=max_frames, repeats=repeats, mode=mode)
     r["rtf"] = r["decode_seconds"] / (batch * max_frames / _frame_rate(cfg))
     return r
+
+
+def _time_loop(fn, x, iters: int = 32, repeats: int = 5) -> float:
+    """Per-iteration wall time of a shape-preserving op, amortized.
+
+    ``fn`` must map x -> same-shape output; it is chained ``iters`` times
+    inside ONE jit via fori_loop (output feeds the next input, so XLA can't
+    elide iterations).  Amortization matters on the axon-tunneled TPU,
+    where a single dispatch costs ~25 ms of round-trip latency — timing one
+    call measures the tunnel, not the kernel."""
+    loop = jax.jit(lambda x0: jax.lax.fori_loop(
+        0, iters, lambda i, xx: fn(xx), x0))
+    _sync(loop(x))
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _sync(loop(x))
+        times.append(time.perf_counter() - t0)
+    return min(times) / iters
+
+
+def bench_kernels(repeats: int = 5) -> Dict[str, Any]:
+    """Pallas kernels vs the plain-XLA (jnp oracle) path at flagship shapes,
+    forward and forward+backward.  speedup > 1.0 means the Pallas kernel
+    wins; the table is the evidence that each kernel earns its keep."""
+    from rtts.attention.lsh import (
+        _sort_by_bucket, hash_vectors, lsh_attend_chunks)
+    from rtts.ops.chunked_ffn import _ref_ffn, chunked_ffn_pallas
+    from rtts.ops.depthwise_conv import _ref_dw, depthwise_conv1d_pallas
+    from rtts.ops.lsh_attention import lsh_attend_chunks_pallas
+    from rtts.nn.layers import dense_init, layer_norm_init
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    results: Dict[str, Any] = {"device": str(jax.devices()[0])}
+    key = jax.random.PRNGKey(0)
+
+    # ---- LSH chunk-attend (flagship: B8 H8 nh4 L1024 c64 d64, before=1) ----
+    b, h, nh, l, c, d = 8, 8, 4, 1024, 64, 64
+    nb = 2 * l // c
+    qk = jax.random.normal(key, (b, h, l, d), jnp.bfloat16)
+    buckets = hash_vectors(qk.astype(jnp.float32), nb, nh,
+                           jax.random.PRNGKey(1), None)
+    sorted_pos, _ = _sort_by_bucket(buckets)
+    nc = nh * l // c
+
+    def gather(x):
+        xb = jnp.broadcast_to(x[:, :, None], (b, h, nh, l, d))
+        return jnp.take_along_axis(xb, sorted_pos[..., None], axis=3)
+
+    q_c = gather(qk).reshape(b, h, nc, c, d)
+    k_c = q_c / jnp.maximum(jnp.linalg.norm(
+        q_c.astype(jnp.float32), axis=-1, keepdims=True), 1e-6).astype(q_c.dtype)
+    v_c = gather(jax.random.normal(jax.random.PRNGKey(2), (b, h, l, d),
+                                   jnp.bfloat16)).reshape(b, h, nc, c, d)
+    pos_c = sorted_pos.reshape(b, h, nc, c)
+    val_c = jnp.ones((b, h, nc, c), bool)
+
+    ref_fn = lambda q: lsh_attend_chunks(q, k_c, v_c, pos_c, val_c,
+                                         True, 1, 0)[0]
+    pl_fn = lambda q: lsh_attend_chunks_pallas(
+        q, k_c, v_c, pos_c, val_c, True, 1, 0, interpret=not on_tpu)[0]
+    t_ref = _time_loop(ref_fn, q_c, repeats=repeats)
+    t_pl = _time_loop(pl_fn, q_c, repeats=repeats)
+    results["lsh_attend_fwd"] = {"xla_ms": t_ref * 1e3, "pallas_ms": t_pl * 1e3,
+                                 "speedup": t_ref / t_pl}
+    g_ref = lambda q: jax.grad(
+        lambda a: ref_fn(a).astype(jnp.float32).sum())(q)
+    g_pl = lambda q: jax.grad(
+        lambda a: pl_fn(a).astype(jnp.float32).sum())(q)
+    t_ref = _time_loop(g_ref, q_c, repeats=repeats)
+    t_pl = _time_loop(g_pl, q_c, repeats=repeats)
+    results["lsh_attend_fwdbwd"] = {"xla_ms": t_ref * 1e3,
+                                    "pallas_ms": t_pl * 1e3,
+                                    "speedup": t_ref / t_pl}
+
+    # ---- fused LN+FFN (flagship: 8x1024 rows, d 512, d_ff 2048) -----------
+    dm, dff = 512, 2048
+    x = jax.random.normal(jax.random.PRNGKey(3), (8, 1024, dm), jnp.float32)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(4))
+    fp = {"ln": layer_norm_init(dm), "w_in": dense_init(k1, dm, dff),
+          "w_out": dense_init(k2, dff, dm)}
+    ref_fn = lambda xx: _ref_ffn(fp, xx, "gelu")
+    pl_fn = lambda xx: chunked_ffn_pallas(fp, xx, "gelu",
+                                          interpret=not on_tpu)
+    t_ref = _time_loop(ref_fn, x, repeats=repeats)
+    t_pl = _time_loop(pl_fn, x, repeats=repeats)
+    results["chunked_ffn_fwd"] = {"xla_ms": t_ref * 1e3,
+                                  "pallas_ms": t_pl * 1e3,
+                                  "speedup": t_ref / t_pl}
+    g_ref = lambda xx: jax.grad(lambda a: ref_fn(a).sum())(xx)
+    g_pl = lambda xx: jax.grad(lambda a: pl_fn(a).sum())(xx)
+    t_ref = _time_loop(g_ref, x, repeats=repeats)
+    t_pl = _time_loop(g_pl, x, repeats=repeats)
+    results["chunked_ffn_fwdbwd"] = {"xla_ms": t_ref * 1e3,
+                                     "pallas_ms": t_pl * 1e3,
+                                     "speedup": t_ref / t_pl}
+
+    # ---- depthwise conv1d (flagship SqueezeWave WN: L_sq 1024, C 128) -----
+    cch, lsq, ks = 128, 1024, 3
+    xd = jax.random.normal(jax.random.PRNGKey(5), (8, lsq, cch), jnp.float32)
+    wd = jax.random.normal(jax.random.PRNGKey(6), (ks, 1, cch),
+                           jnp.float32) * 0.1
+    bd = jnp.zeros((cch,), jnp.float32)
+    ref_fn = lambda xx: _ref_dw(xx, wd, bd)
+    pl_fn = lambda xx: depthwise_conv1d_pallas(xx, wd, bd,
+                                               interpret=not on_tpu)
+    t_ref = _time_loop(ref_fn, xd, repeats=repeats)
+    t_pl = _time_loop(pl_fn, xd, repeats=repeats)
+    results["depthwise_conv_fwd"] = {"xla_ms": t_ref * 1e3,
+                                     "pallas_ms": t_pl * 1e3,
+                                     "speedup": t_ref / t_pl}
+    return results
 
 
 def run_bench(cfg: Optional[Config] = None, which: str = "e2e") -> str:
     """Returns the single JSON line the driver consumes."""
     cfg = cfg or base_bench_config()
+    if cfg.model.vocab_size <= 0:
+        from rtts.text import frontend_vocab_size
+
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model,
+            vocab_size=frontend_vocab_size(cfg.dataset.text.level)))
     if which == "decode":
         r = bench_decode(cfg)
         line = {"metric": "mel_frames_per_sec_per_chip",
@@ -295,6 +538,15 @@ def run_bench(cfg: Optional[Config] = None, which: str = "e2e") -> str:
                 "vs_baseline": round(
                     r["frames_per_sec_train"] / _frame_rate(cfg), 4),
                 "detail": r}
+    elif which == "kernels":
+        r = bench_kernels()
+        speedups = {k: v["speedup"] for k, v in r.items()
+                    if isinstance(v, dict) and "speedup" in v}
+        worst = min(speedups, key=speedups.get)
+        line = {"metric": "pallas_vs_xla_min_speedup",
+                "value": round(speedups[worst], 4), "unit": "x",
+                "vs_baseline": round(speedups[worst], 4),
+                "worst_kernel": worst, "detail": r}
     else:
         raise ValueError(f"unknown bench {which!r}")
     return json.dumps(line)

@@ -41,25 +41,37 @@ def cli(ctx, config_path, overrides, platform):
 @cli.command()
 @click.option("--index-url", required=True, help="transcript index URL")
 @click.option("--out", "out_dir", default=None)
+@click.option("--media/--no-media", "fetch_media", default=True,
+              help="also download the media files referenced by pages")
 @click.pass_obj
-def download(cfg: Config, index_url, out_dir):
+def download(cfg: Config, index_url, out_dir, fetch_media):
     """Scrape transcripts + media (requires network)."""
     from rtts.data.download import download_corpus
 
     out = out_dir or cfg.dataset.data_dir
-    path = download_corpus(index_url, out)
+    path = download_corpus(index_url, out, fetch_media=fetch_media)
     click.echo(f"wrote {path}")
 
 
 @cli.command("generate-corpus")
 @click.option("--out", "out_dir", default=None)
 @click.option("-n", "--num-utterances", default=24)
+@click.option("--long-recording", is_flag=True,
+              help="one long wav + timed transcript (exercises the "
+                   "cut-by-transcript-timing preprocessing stage)")
 @click.pass_obj
-def generate_corpus_cmd(cfg: Config, out_dir, num_utterances):
+def generate_corpus_cmd(cfg: Config, out_dir, num_utterances, long_recording):
     """Generate the synthetic speech-like corpus (offline stand-in)."""
+    out = out_dir or cfg.dataset.data_dir
+    if long_recording:
+        from rtts.data.corpus import generate_long_recording
+
+        tpath = generate_long_recording(out, num_utterances,
+                                        cfg.dataset.audio.sample_rate)
+        click.echo(f"generated long recording + timed transcript {tpath}")
+        return
     from rtts.data.corpus import generate_corpus
 
-    out = out_dir or cfg.dataset.data_dir
     utts = generate_corpus(out, num_utterances, cfg.dataset.audio.sample_rate)
     click.echo(f"generated {len(utts)} utterances under {out}")
 
@@ -109,8 +121,13 @@ def train_vocoder_cmd(cfg: Config, workdir, max_steps):
 @click.option("--out", "out_dir", default="synth_out")
 @click.option("--max-frames", default=1024)
 @click.option("--seed", default=0)
+@click.option("--mode", default="kv_full",
+              type=click.Choice(["kv_full", "kv_lsh", "kv_lsh_chunk",
+                                 "auto"]),
+              help="AR decode cache strategy")
 @click.pass_obj
-def predict(cfg: Config, text, tts_ckpt, vocoder_ckpt, out_dir, max_frames, seed):
+def predict(cfg: Config, text, tts_ckpt, vocoder_ckpt, out_dir, max_frames,
+            seed, mode):
     """Text -> wav using trained checkpoints (Griffin-Lim if no vocoder)."""
     import dataclasses
 
@@ -143,7 +160,8 @@ def predict(cfg: Config, text, tts_ckpt, vocoder_ckpt, out_dir, max_frames, seed
         click.echo(f"loaded vocoder step {step} from {path}")
 
     cfg2 = dataclasses.replace(cfg, model=model_cfg)
-    syn = Synthesizer(cfg2, params, voc_params, max_frames=max_frames)
+    syn = Synthesizer(cfg2, params, voc_params, max_frames=max_frames,
+                      mode=mode)
     wavs = syn(list(text), seed=seed)
     out = pathlib.Path(out_dir)
     for i, w in enumerate(wavs):
@@ -155,7 +173,7 @@ def predict(cfg: Config, text, tts_ckpt, vocoder_ckpt, out_dir, max_frames, seed
 @cli.command()
 @click.option("--which", default="decode",
               type=click.Choice(["decode", "e2e", "vocoder", "train",
-                                 "longform", "all"]))
+                                 "longform", "kernels", "all"]))
 @click.pass_obj
 def bench(cfg: Config, which):
     """Run the benchmark harness and print JSON line(s)."""
@@ -163,7 +181,7 @@ def bench(cfg: Config, which):
     from rtts.utils.profiling import enable_compilation_cache
 
     enable_compilation_cache()
-    modes = (["decode", "e2e", "vocoder", "train", "longform"]
+    modes = (["decode", "e2e", "vocoder", "train", "longform", "kernels"]
              if which == "all" else [which])
     for m in modes:
         click.echo(run_bench(cfg, m))

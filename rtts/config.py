@@ -112,6 +112,12 @@ class ReformerStackConfig:
     # — the reference lineage's interleaved attn_layers); None => all layers
     # use attention.kind
     attn_layers: Optional[List[str]] = None
+    # sequence parallelism (SURVEY.md §6.7): mesh axis to shard the sequence
+    # over for LSH self-attention (None = single-device algorithmic path);
+    # exchange: "allgather" (one hop, O(L·d) transient HBM) or "ring"
+    # (n-1 neighbor hops, O(L·d/n) transient HBM)
+    seq_parallel_axis: Optional[str] = None
+    seq_parallel_exchange: str = "allgather"
 
 
 @dataclass(frozen=True)

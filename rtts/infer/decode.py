@@ -129,6 +129,87 @@ def _self_attn_step_lsh(p, h_t, k_cache, v_cache, b_cache, rotations, t,
     return dense(p["w_o"], out, cdt), k_cache, v_cache, b_cache
 
 
+def _self_attn_step_lsh_chunk(p, h_t, k_cache, v_cache, ring, rotations, t,
+                              num_heads, cdt):
+    """O(chunk) LSH incremental attention (SURVEY.md §3.2 "Incremental
+    decoding cache", the true O(chunk)-per-step variant).
+
+    TPU reformulation of the HF bucket-chunk gather: instead of re-sorting
+    the cache every step (hostile to TPU), a per-(head, round, bucket)
+    ring buffer stores the POSITIONS of the most recent ``C`` keys hashed
+    into each bucket.  The step hashes the query, gathers only its bucket's
+    C cached keys per round (plus itself with the training self-penalty),
+    and combines rounds with the same exp(lse - logsumexp) rule as
+    training.  In the training layout a query's chunk + lookback chunks
+    are exactly its nearest same-bucket predecessors in the stable
+    position-ordered sort, so "most recent C same-bucket keys" is the
+    faithful serving analog; when no bucket ever exceeds C the result is
+    bit-identical to the full-prefix bucket-mask mode (tested).
+
+    ring: {"idx": (B,H,nh,NB,C) int32 positions (-1 = empty),
+           "cnt": (B,H,nh,NB) int32 insert counters}.
+    Per-step cost: O(nh * C * d) attention FLOPs + O(nh) scatter, vs
+    O(T * d) for the full-prefix modes."""
+    qk_t = _proj_heads(p["w_qk"], h_t, num_heads, cdt)   # (B, H, d)
+    v_t = _proj_heads(p["w_v"], h_t, num_heads, cdt)
+    d = qk_t.shape[-1]
+    k_t = _len_norm(qk_t) * (d ** -0.5)
+
+    rotated = jnp.einsum("bhd,hdnr->bhnr",
+                         jax.lax.stop_gradient(qk_t).astype(jnp.float32),
+                         rotations)
+    rotated = jnp.concatenate([rotated, -rotated], axis=-1)
+    bucket_t = jnp.argmax(rotated, axis=-1).astype(jnp.int32)  # (B, H, nh)
+
+    k_cache = jax.lax.dynamic_update_slice_in_dim(
+        k_cache, k_t[:, None], t, axis=1)
+    v_cache = jax.lax.dynamic_update_slice_in_dim(
+        v_cache, v_t[:, None], t, axis=1)
+
+    idx, cnt = ring["idx"], ring["cnt"]
+    b, h, nh, nb, cap = idx.shape
+
+    # gather the query's bucket row per round BEFORE inserting self
+    # (self joins as an explicit extra column with the -1e5 penalty)
+    row = jnp.take_along_axis(
+        idx, bucket_t[..., None, None], axis=3)[:, :, :, 0]     # (B,H,nh,C)
+    valid = row >= 0
+    pos = jnp.where(valid, row, 0)
+
+    # gather k/v from the linear (B,T,H,d) caches at the ring positions
+    flat = pos.reshape(b, h, nh * cap).transpose(0, 2, 1)       # (B,nhC,H)
+    k_g = jnp.take_along_axis(k_cache, flat[..., None], axis=1)
+    v_g = jnp.take_along_axis(v_cache, flat[..., None], axis=1)
+    k_g = k_g.transpose(0, 2, 1, 3).reshape(b, h, nh, cap, d)
+    v_g = v_g.transpose(0, 2, 1, 3).reshape(b, h, nh, cap, d)
+
+    scores = jnp.einsum("bhd,bhncd->bhnc", qk_t, k_g).astype(jnp.float32)
+    scores = jnp.where(valid, scores, MASK_VALUE)
+    self_col = jnp.full(scores.shape[:-1] + (1,), SELF_MASK_VALUE,
+                        jnp.float32)
+    scores = jnp.concatenate([scores, self_col], axis=-1)       # (B,H,nh,C+1)
+    vals = jnp.concatenate(
+        [v_g, jnp.broadcast_to(v_t[:, :, None, None, :], (b, h, nh, 1, d))],
+        axis=3)
+    lse = jax.nn.logsumexp(scores, axis=-1)                     # (B,H,nh)
+    probs = jnp.exp(scores - lse[..., None])
+    out_r = jnp.einsum("bhnc,bhncd->bhnd", probs.astype(vals.dtype), vals)
+    w = jnp.exp(lse - jax.nn.logsumexp(lse, axis=-1, keepdims=True))
+    out = jnp.einsum("bhn,bhnd->bhd", w.astype(out_r.dtype), out_r)
+    out = out.reshape(out.shape[0], -1)
+
+    # insert self into its bucket's ring (oldest slot evicted on overflow)
+    bi = jnp.arange(b)[:, None, None]
+    hi = jnp.arange(h)[None, :, None]
+    ri = jnp.arange(nh)[None, None, :]
+    c_cur = jnp.take_along_axis(cnt, bucket_t[..., None], axis=3)[..., 0]
+    slot = c_cur % cap
+    idx = idx.at[bi, hi, ri, bucket_t, slot].set(t)
+    cnt = cnt.at[bi, hi, ri, bucket_t].add(1)
+    return (dense(p["w_o"], out, cdt), k_cache, v_cache,
+            {"idx": idx, "cnt": cnt})
+
+
 def _cross_attn_step(p, h_t, mem_k, mem_v, memory_mask, num_heads, cdt):
     """One-frame cross-attention. mem_k/mem_v: (B, L, H, d) precomputed."""
     q = _proj_heads(p["w_q"], h_t, num_heads, cdt)
@@ -203,7 +284,13 @@ def _decoder_step(params, cfg: ReformerTTSConfig, x_t, state: DecodeState,
         is_cross = (li % 2 == 1)
         if not is_cross:
             h = layer_norm(lp["f"]["ln"], h2)
-            if rotations is not None:
+            if rotations is not None and isinstance(b_caches[ci], dict):
+                out, k_caches[ci], v_caches[ci], b_caches[ci] = \
+                    _self_attn_step_lsh_chunk(
+                        lp["f"]["attn"], h, k_caches[ci], v_caches[ci],
+                        b_caches[ci], rotations[ci], state.t, num_heads,
+                        cdt)
+            elif rotations is not None:
                 out, k_caches[ci], v_caches[ci], b_caches[ci] = \
                     _self_attn_step_lsh(
                         lp["f"]["attn"], h, k_caches[ci], v_caches[ci],
@@ -288,7 +375,8 @@ def _make_step_fn(params, cfg: ReformerTTSConfig, mem_k, mem_v, memory_mask,
 
 
 def _init_state(params, cfg: ReformerTTSConfig, batch: int, max_frames: int,
-                lsh_cache: bool = False):
+                lsh_cache: bool = False, ring_buckets: int = 0,
+                ring_capacity: int = 0):
     cdt = _dtype(cfg.compute_dtype)
     a = cfg.decoder.attention
     n_self = cfg.decoder.num_layers
@@ -300,7 +388,15 @@ def _init_state(params, cfg: ReformerTTSConfig, batch: int, max_frames: int,
     cache_shape = (batch, n_groups, a.num_heads, a.head_dim)
     qk = tuple(jnp.zeros(cache_shape, cdt) for _ in range(n_self))
     v = tuple(jnp.zeros(cache_shape, cdt) for _ in range(n_self))
-    if lsh_cache:
+    if ring_buckets > 0:
+        # O(chunk) mode: per-(head, round, bucket) position ring buffers
+        b = tuple(
+            {"idx": jnp.full((batch, a.num_heads, a.num_hashes,
+                              ring_buckets, ring_capacity), -1, jnp.int32),
+             "cnt": jnp.zeros((batch, a.num_heads, a.num_hashes,
+                               ring_buckets), jnp.int32)}
+            for _ in range(n_self))
+    elif lsh_cache:
         # bucket ids are >= 0, so -1 never spuriously matches pre-fill
         b = tuple(jnp.full((batch, a.num_heads, a.num_hashes, n_groups),
                            -1, jnp.int32) for _ in range(n_self))
@@ -352,10 +448,16 @@ def decode_greedy(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Greedy AR decode -> (mel_post (B,T_max,n_mels), lengths (B,), stop_logits).
 
-    mode: "kv_full"  — full-attention KV cache (fastest; standard serving)
-          "kv_lsh"   — LSH bucket-cache attention (training-faithful
-                       restricted pattern; SURVEY.md §3.2 incremental cache)
-          "auto"     — kv_lsh when the decoder self-attention kind is lsh
+    mode: "kv_full"      — full-attention KV cache (standard serving)
+          "kv_lsh"       — LSH bucket-mask attention over the whole prefix
+                           (training-faithful pattern, O(T) per step)
+          "kv_lsh_chunk" — LSH ring-buffer cache: O(chunk) per step —
+                           gathers only the query's bucket's most recent
+                           keys per round (SURVEY.md §3.2 incremental
+                           cache; equals kv_lsh whenever no bucket
+                           overflows the ring)
+          "auto"         — kv_lsh_chunk when the decoder self-attention
+                           kind is lsh, else kv_full
     Jit-compatible: call under jax.jit with static max_frames."""
     cdt = _dtype(cfg.compute_dtype)
     if rng is None:
@@ -363,17 +465,23 @@ def decode_greedy(
     if stop_threshold is None:
         stop_threshold = cfg.stop_threshold
     if mode == "auto":
-        mode = "kv_lsh" if cfg.decoder.attention.kind == "lsh" else "kv_full"
+        mode = ("kv_lsh_chunk" if cfg.decoder.attention.kind == "lsh"
+                else "kv_full")
     batch = memory.shape[0]
     mem_k, mem_v = _init_mem_kv(params, cfg, memory.astype(cdt), cdt)
     rotations, nb = (None, 0)
-    if mode == "kv_lsh":
+    if mode in ("kv_lsh", "kv_lsh_chunk"):
         rotations, nb = _decode_rotations(cfg, jax.random.fold_in(rng, 999),
                                           max_frames)
     step = _make_step_fn(params, cfg, mem_k, mem_v, memory_mask, rng,
                          stop_threshold, rotations=rotations, num_buckets=nb)
-    state = _init_state(params, cfg, batch, max_frames,
-                        lsh_cache=(mode == "kv_lsh"))
+    a = cfg.decoder.attention
+    ring_cap = a.chunk_length * (1 + a.num_chunks_before + a.num_chunks_after)
+    state = _init_state(
+        params, cfg, batch, max_frames,
+        lsh_cache=(mode == "kv_lsh"),
+        ring_buckets=(nb if mode == "kv_lsh_chunk" else 0),
+        ring_capacity=min(ring_cap, max_frames // cfg.reduction_factor))
 
     n_groups = max_frames // cfg.reduction_factor
 

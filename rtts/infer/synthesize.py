@@ -23,22 +23,25 @@ from rtts.text import encode_batch
 
 class Synthesizer:
     def __init__(self, cfg: Config, tts_params, vocoder_params=None,
-                 max_frames: int = 1024):
+                 max_frames: int = 1024, mode: str = "kv_full"):
+        """``mode`` selects the AR decode cache (see decode_greedy):
+        kv_full (default serving), kv_lsh, kv_lsh_chunk, or auto."""
         self.cfg = cfg
         self.tts_params = tts_params
         self.vocoder_params = vocoder_params
         self.max_frames = max_frames
+        self.mode = mode
         self._decode_jit = jax.jit(
-            functools.partial(self._decode, cfg.model),
+            functools.partial(self._decode, cfg.model, mode),
             static_argnames=("max_frames",),
         )
 
     @staticmethod
-    def _decode(model_cfg, params, tokens, token_mask, rng, max_frames):
+    def _decode(model_cfg, mode, params, tokens, token_mask, rng, max_frames):
         memory = tts_model.encode(params, model_cfg, tokens, token_mask,
                                   rng=None, deterministic=True)
         return decode_greedy(params, model_cfg, memory, token_mask,
-                             max_frames=max_frames, rng=rng)
+                             max_frames=max_frames, rng=rng, mode=mode)
 
     def text_to_mel(self, texts: Sequence[str], seed: int = 0
                     ) -> Tuple[np.ndarray, np.ndarray]:
@@ -86,5 +89,7 @@ class Synthesizer:
 
 
 def synthesize(cfg: Config, tts_params, texts: Sequence[str],
-               vocoder_params=None, max_frames: int = 1024, seed: int = 0):
-    return Synthesizer(cfg, tts_params, vocoder_params, max_frames)(texts, seed)
+               vocoder_params=None, max_frames: int = 1024, seed: int = 0,
+               mode: str = "kv_full"):
+    return Synthesizer(cfg, tts_params, vocoder_params, max_frames,
+                       mode=mode)(texts, seed)

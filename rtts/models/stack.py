@@ -41,6 +41,20 @@ def _self_attention(kind: str, params, x, mask, causal, cfg: ReformerStackConfig
         )
         return out, None
     if kind == "lsh":
+        if cfg.seq_parallel_axis and x.shape[1] > a.chunk_length:
+            # distributed sequence axis: same hash draw as the single-device
+            # path => identical output (tested); hash recompute in the
+            # reversible backward is deterministic, so no bucket cache
+            from rtts.parallel.seq_parallel import (
+                lsh_self_attention_seq_parallel,
+            )
+
+            out = lsh_self_attention_seq_parallel(
+                params, x, mask=mask, causal=causal, cfg=a, rng=rng,
+                compute_dtype=compute_dtype, axis=cfg.seq_parallel_axis,
+                exchange=cfg.seq_parallel_exchange,
+            )
+            return out, None
         from rtts.attention.lsh import lsh_self_attention
 
         return lsh_self_attention(

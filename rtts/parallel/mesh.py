@@ -68,6 +68,17 @@ def initialize_distributed(cfg: Optional[MeshConfig] = None) -> None:
     _initialized = True
 
 
+def current_mesh() -> Optional[Mesh]:
+    """The ambient physical mesh set by ``with mesh:`` (None outside one).
+
+    Single point of contact with the legacy thread-resources context so the
+    rest of the codebase never touches the private API."""
+    from jax._src import mesh as mesh_lib
+
+    m = mesh_lib.thread_resources.env.physical_mesh
+    return None if m.empty else m
+
+
 def make_mesh(
     cfg: Optional[MeshConfig] = None,
     devices: Optional[Sequence[jax.Device]] = None,

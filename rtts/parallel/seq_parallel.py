@@ -7,18 +7,26 @@ module adds the distributed option for sequences beyond one chip's compute:
 the sequence axis is sharded, each device hashes its local positions,
 bucket ids are all-gathered (cheap: int32), every device derives the SAME
 global sorted order, attends its 1/n slice of the sorted chunks, and
-outputs are all-gathered for the unsort + multi-round combine.
+outputs return to sequence order for the unsort + multi-round combine.
 
-v1 communication profile: one all-gather of (qk, v) in and one of
-(out, lse) — O(L·d) over ICI, the standard naive-SP attention cost; compute
-per device is 1/n of the chunk-attend FLOPs.  A ring exchange that only
-moves neighbor chunks is the documented next step if L·d ever exceeds
-transient HBM.
+Two exchange strategies for the (qk, v) operands and the (out, lse)
+results:
+
+- ``exchange="allgather"``: one all-gather in, one out — O(L·d) transient
+  HBM per device, minimal latency; the right default when L·d fits.
+- ``exchange="ring"``: n-1 ``ppermute`` neighbor hops; each device keeps
+  only its own shard plus one in-flight shard buffer, selecting the rows
+  its sorted slice needs as each shard streams past.  Peak transient HBM
+  drops to O(L/n · d) at the same total traffic — for sequences whose
+  gathered (qk, v) would not fit.
 
 Numerical contract: identical output to the single-device
-``lsh_attention_core`` (tested on the virtual 8-device mesh) because the
-permutation, masks, and combine are identical — only the chunk loop is
-split across devices.
+``lsh_attention_core`` (tested on the virtual 8-device mesh, both
+exchanges) because the permutation, masks, and combine are identical —
+only the chunk loop is split across devices.
+
+``lsh_self_attention_seq_parallel`` is the drop-in sublayer wrapper used
+by the model stack when ``ReformerStackConfig.seq_parallel_axis`` is set.
 """
 
 from __future__ import annotations
@@ -29,13 +37,40 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from rtts.attention.full import _len_norm
+from rtts.attention.full import _len_norm, _merge_heads, _split_heads
 from rtts.attention.lsh import (
     _sort_by_bucket,
     hash_vectors,
-    lsh_attend_chunks,
 )
 from rtts.config import AttentionConfig
+from rtts.nn.layers import dense
+
+
+def _ring_gather(x_l: jnp.ndarray, pos: jnp.ndarray, rank, n_dev: int,
+                 shard: int, axis: str) -> jnp.ndarray:
+    """Gather rows of a sequence-sharded array at arbitrary global indices.
+
+    x_l: (B, H, shard, d) — this device's shard of a (B, H, n*shard, d)
+    array.  pos: (B, H, P) global row indices needed locally.  The shards
+    ride a ring (n-1 ppermute hops); each device copies out the rows whose
+    global index falls in the shard currently held.  Returns (B, H, P, d).
+    """
+    acc = jnp.zeros(pos.shape + (x_l.shape[-1],), x_l.dtype)
+    perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
+
+    def body(i, carry):
+        acc, buf = carry
+        src_rank = (rank - i) % n_dev  # whose shard buf holds after i hops
+        local = pos - src_rank * shard
+        ok = (local >= 0) & (local < shard)
+        got = jnp.take_along_axis(
+            buf, jnp.clip(local, 0, shard - 1)[..., None], axis=2)
+        acc = jnp.where(ok[..., None], got, acc)
+        buf = jax.lax.ppermute(buf, axis, perm)
+        return acc, buf
+
+    acc, _ = jax.lax.fori_loop(0, n_dev, body, (acc, x_l))
+    return acc
 
 
 def lsh_attention_seq_parallel(
@@ -47,10 +82,13 @@ def lsh_attention_seq_parallel(
     rotations: jnp.ndarray,        # (H, d, nh, nb/2) replicated
     mesh: Mesh,
     axis: str = "model",
+    exchange: str = "allgather",
 ) -> jnp.ndarray:
     """Sequence-parallel LSH self-attention. Returns (B, H, L, d) sharded
     like qk.  Rotations must be passed explicitly (all devices must hash
     identically)."""
+    if exchange not in ("allgather", "ring"):
+        raise ValueError(f"unknown exchange {exchange!r}")
     n_dev = mesh.shape[axis]
     b, h, l, d = qk.shape
     c = cfg.chunk_length
@@ -68,75 +106,105 @@ def lsh_attention_seq_parallel(
     def local_fn(qk_l, v_l, mask_l):
         # qk_l: (B, H, L/n, d) local shard
         rank = jax.lax.axis_index(axis)
+        shard = l // n_dev
         # hash local positions (same rotations everywhere)
         buckets_l = hash_vectors(qk_l, nb, nh, jax.random.PRNGKey(0),
                                  mask_l, rotations=rotations)
-        # gather the small stuff and the operands
+        # bucket ids are small ints — always all-gathered (every device
+        # must derive the identical global sorted order)
         buckets = jax.lax.all_gather(buckets_l, axis, axis=3, tiled=True)
-        qk_g = jax.lax.all_gather(qk_l, axis, axis=2, tiled=True)
-        v_g = jax.lax.all_gather(v_l, axis, axis=2, tiled=True)
         mask_g = (jax.lax.all_gather(mask_l, axis, axis=1, tiled=True)
                   if mask_l is not None else None)
 
         sorted_pos, undo_idx = _sort_by_bucket(buckets)      # (B,H,nh,L)
 
-        def round_gather(x):
-            xb = jnp.broadcast_to(x[:, :, None], (b, h, nh, l, d))
-            return jnp.take_along_axis(xb, sorted_pos[..., None], axis=3)
-
-        qk_s = round_gather(qk_g)
-        v_s = round_gather(v_g)
-        if mask_g is not None:
-            mb = jnp.broadcast_to(mask_g[:, None, None, :], (b, h, nh, l))
-            valid_s = jnp.take_along_axis(mb, sorted_pos, axis=3)
-        else:
-            valid_s = jnp.ones((b, h, nh, l), bool)
-
         nc = nh * l // c
         nc_local = nc // n_dev
-        q_c = qk_s.reshape(b, h, nc, c, d)
-        k_c = (_len_norm(qk_s) * (d ** -0.5)).reshape(b, h, nc, c, d)
-        v_c = v_s.reshape(b, h, nc, c, d)
-        pos_c = sorted_pos.reshape(b, h, nc, c)
-        val_c = valid_s.reshape(b, h, nc, c)
-
-        # my slice of sorted chunks, plus wrapped neighbor chunks
-        before, after = cfg.num_chunks_before, cfg.num_chunks_after
         lo = rank * nc_local
+        before, after = cfg.num_chunks_before, cfg.num_chunks_after
+        pos_c = sorted_pos.reshape(b, h, nc, c)
 
         def slice_with_neighbors(x):
             idx = (lo + jnp.arange(-before, nc_local + after)) % nc
             return jnp.take(x, idx, axis=2)
 
-        q_my = jax.lax.dynamic_slice_in_dim(q_c, lo, nc_local, axis=2)
-        k_my = slice_with_neighbors(k_c)
-        v_my = slice_with_neighbors(v_c)
-        pos_k_my = slice_with_neighbors(pos_c)
-        val_my = slice_with_neighbors(val_c)
+        pos_k_my = slice_with_neighbors(pos_c)     # (B,H,ncl+b+a,c)
         pos_q_my = jax.lax.dynamic_slice_in_dim(pos_c, lo, nc_local, axis=2)
 
-        # attend: local chunks against [neighbors | own | neighbors] window.
-        # Reuse the chunk kernel by reshaping: for each of my chunks i, the
-        # key window is chunks [i, i+before+after] of the padded slice.
-        out_c, lse_c = _attend_window(
-            q_my, k_my, v_my, pos_q_my, pos_k_my, val_my, causal,
-            before, after, cfg.mask_value, cfg.self_mask_value)
+        if exchange == "allgather":
+            qk_g = jax.lax.all_gather(qk_l, axis, axis=2, tiled=True)
+            v_g = jax.lax.all_gather(v_l, axis, axis=2, tiled=True)
 
-        # gather every device's chunk outputs, then unsort + combine locally
-        out_all = jax.lax.all_gather(out_c, axis, axis=2, tiled=True)
-        lse_all = jax.lax.all_gather(lse_c, axis, axis=2, tiled=True)
-        out_flat = out_all.reshape(b, h, nh, l, d)
-        lse_flat = lse_all.reshape(b, h, nh, l)
-        out_r = jnp.take_along_axis(out_flat, undo_idx[..., None], axis=3)
-        lse_r = jnp.take_along_axis(lse_flat, undo_idx, axis=3)
-        if nh == 1:
-            out = out_r[:, :, 0]
+            def round_gather(x):
+                xb = jnp.broadcast_to(x[:, :, None], (b, h, nh, l, d))
+                return jnp.take_along_axis(xb, sorted_pos[..., None], axis=3)
+
+            qk_s = round_gather(qk_g)
+            v_s = round_gather(v_g)
+            q_c = qk_s.reshape(b, h, nc, c, d)
+            k_c = (_len_norm(qk_s) * (d ** -0.5)).reshape(b, h, nc, c, d)
+            v_c = v_s.reshape(b, h, nc, c, d)
+            q_my = jax.lax.dynamic_slice_in_dim(q_c, lo, nc_local, axis=2)
+            k_my = slice_with_neighbors(k_c)
+            v_my = slice_with_neighbors(v_c)
         else:
-            w = jnp.exp(lse_r - jax.nn.logsumexp(lse_r, axis=2, keepdims=True))
-            out = jnp.einsum("bhnl,bhnld->bhld", w.astype(out_r.dtype), out_r)
-        # return my sequence shard
-        shard = l // n_dev
-        return jax.lax.dynamic_slice_in_dim(out, rank * shard, shard, axis=2)
+            # ring: fetch only the rows this device's sorted slice needs
+            wk = pos_k_my.shape[2]
+            flat_k = pos_k_my.reshape(b, h, wk * c)
+            qk_need = _ring_gather(qk_l, flat_k, rank, n_dev, shard, axis)
+            v_need = _ring_gather(v_l, flat_k, rank, n_dev, shard, axis)
+            k_my = (_len_norm(qk_need) * (d ** -0.5)).reshape(
+                b, h, wk, c, d)
+            v_my = v_need.reshape(b, h, wk, c, d)
+            # queries: the subset of flat_k rows that are my own chunks
+            q_my = qk_need.reshape(b, h, wk, c, d)[:, :, before:before + nc_local]
+
+        if mask_g is not None:
+            mb = jnp.broadcast_to(mask_g[:, None, :], (b, h, l))
+            val_k_my = jnp.take_along_axis(
+                mb, pos_k_my.reshape(b, h, -1), axis=2
+            ).reshape(pos_k_my.shape)
+        else:
+            val_k_my = jnp.ones(pos_k_my.shape, bool)
+
+        out_c, lse_c = _attend_window(
+            q_my, k_my, v_my, pos_q_my, pos_k_my, val_k_my, causal,
+            before, after, cfg.mask_value, cfg.self_mask_value)
+        # out_c: (B,H,ncl,c,d) for sorted slots [lo*c, (lo+ncl)*c)
+
+        # return to sequence order: my sequence shard needs, per round, the
+        # sorted-slot outputs at undo_idx of my positions.  undo_idx is a
+        # within-round index in [0, L); the flat sorted-slot axis is
+        # round-major, so the global slot is round * L + undo.
+        undo_my = jax.lax.dynamic_slice_in_dim(
+            undo_idx, rank * shard, shard, axis=3)          # (B,H,nh,shard)
+        out_flat = out_c.reshape(b, h, nc_local * c, d)
+        lse_flat = lse_c.reshape(b, h, nc_local * c)
+        if exchange == "allgather":
+            out_all = jax.lax.all_gather(out_flat, axis, axis=2, tiled=True)
+            lse_all = jax.lax.all_gather(lse_flat, axis, axis=2, tiled=True)
+            out_r = jnp.take_along_axis(
+                out_all.reshape(b, h, nh, l, d), undo_my[..., None], axis=3)
+            lse_r = jnp.take_along_axis(
+                lse_all.reshape(b, h, nh, l), undo_my, axis=3)
+        else:
+            offs = (jnp.arange(nh, dtype=undo_my.dtype) * l)[None, None, :,
+                                                             None]
+            flat_u = (undo_my + offs).reshape(b, h, nh * shard)
+            # ride f32 so the lse column keeps combine-exact precision
+            got = _ring_gather(
+                jnp.concatenate(
+                    [out_flat.astype(jnp.float32), lse_flat[..., None]],
+                    axis=-1),
+                flat_u, rank, n_dev, nc_local * c, axis)
+            out_r = got[..., :d].reshape(b, h, nh, shard, d).astype(
+                out_flat.dtype)
+            lse_r = got[..., d].reshape(b, h, nh, shard)
+
+        if nh == 1:
+            return out_r[:, :, 0]
+        w = jnp.exp(lse_r - jax.nn.logsumexp(lse_r, axis=2, keepdims=True))
+        return jnp.einsum("bhnl,bhnld->bhld", w.astype(out_r.dtype), out_r)
 
     if mask is None:
         mask = jnp.ones((b, l), bool)
@@ -148,6 +216,55 @@ def lsh_attention_seq_parallel(
         check_vma=False,
     )
     return fn(qk, v, mask)
+
+
+def lsh_self_attention_seq_parallel(
+    params,
+    x: jnp.ndarray,               # (B, L, D)
+    mask: Optional[jnp.ndarray],  # (B, L) bool
+    causal: bool,
+    cfg: AttentionConfig,
+    rng: Optional[jax.Array],
+    compute_dtype=None,
+    mesh: Optional[Mesh] = None,
+    axis: str = "model",
+    exchange: str = "allgather",
+) -> jnp.ndarray:
+    """Sequence-parallel drop-in for ``lsh_self_attention`` (same hash
+    draw -> same output as the single-device sublayer).  Requires an
+    active or explicit Mesh; the sequence axis is shard_map'd over
+    ``axis``."""
+    if mesh is None:
+        from rtts.parallel.mesh import current_mesh
+
+        mesh = current_mesh()
+    if mesh is None or axis not in mesh.shape:
+        raise ValueError(
+            f"seq-parallel attention needs a Mesh with axis {axis!r}; "
+            f"enter one (`with mesh:`) or pass mesh= explicitly")
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    if cfg.hash_seed is not None:
+        rng = jax.random.PRNGKey(cfg.hash_seed)
+    l = x.shape[1]
+    nb = cfg.num_buckets or 0
+    if nb == 0:
+        from rtts.attention.lsh import auto_num_buckets
+
+        nb = auto_num_buckets(l, cfg.chunk_length)
+    # identical rotation draw to hash_vectors' internal one => identical
+    # buckets => identical output to the single-device path (factorized
+    # specs draw sum(factors)/2 rotation columns, like hash_vectors)
+    factors = [nb] if isinstance(nb, int) else list(nb)
+    rot_size = sum(factors)
+    rotations = jax.random.normal(
+        rng, (cfg.num_heads, cfg.head_dim, cfg.num_hashes, rot_size // 2),
+        dtype=jnp.float32)
+    qk = _split_heads(dense(params["w_qk"], x, compute_dtype), cfg.num_heads)
+    v = _split_heads(dense(params["w_v"], x, compute_dtype), cfg.num_heads)
+    out = lsh_attention_seq_parallel(qk, v, cfg, mask, causal, rotations,
+                                     mesh, axis=axis, exchange=exchange)
+    return dense(params["w_o"], _merge_heads(out), compute_dtype)
 
 
 def _attend_window(q_my, k_pad, v_pad, pos_q, pos_k_pad, val_pad, causal,

@@ -57,9 +57,12 @@ def encode_batch(
     ``pad_to_multiple`` (and clamped to ``max_len`` if given, which must
     itself be a multiple)."""
     if level == "phoneme":
+        from rtts.text.g2p import text_to_phonemes
         from rtts.text.phonemes import phonemes_to_ids
 
-        seqs = [phonemes_to_ids(t) for t in texts]
+        # raw text is phonemized by the built-in offline G2P (lexicon +
+        # letter-to-sound); already-ARPAbet input passes through unchanged
+        seqs = [phonemes_to_ids(text_to_phonemes(t, cleaner)) for t in texts]
     else:
         seqs = [text_to_ids(t, cleaner) for t in texts]
     longest = max(len(s) for s in seqs)

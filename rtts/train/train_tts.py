@@ -23,7 +23,12 @@ import numpy as np
 import optax
 
 from rtts.config import Config
-from rtts.data.dataset import Manifest, TextMelDataset, split_manifest
+from rtts.data.dataset import (
+    EpochBatcher,
+    Manifest,
+    TextMelDataset,
+    split_manifest,
+)
 from rtts.models import reformer_tts as M
 from rtts.parallel.mesh import initialize_distributed, make_mesh
 from rtts.parallel.sharding import batch_sharding, replicated
@@ -106,9 +111,13 @@ def train_tts(cfg: Config, workdir: str, max_steps: Optional[int] = None,
                                         cfg.dataset.split_seed)
     train_ds = TextMelDataset(train_man, cfg.dataset)
     val_ds = TextMelDataset(val_man, cfg.dataset)
-    train_iter = train_ds.batches(cfg.dataset.batch_size,
-                                  seed=cfg.dataset.shuffle_seed, loop=True,
-                                  drop_last=len(train_ds) > cfg.dataset.batch_size)
+    # step->batch is a pure function (EpochBatcher), and the per-step RNG is
+    # fold_in(key, step): together they make mid-epoch resume BIT-EXACT —
+    # steps k..N of a resumed run replay the exact batches and dropout of an
+    # uninterrupted run (tested in test_checkpoint.py)
+    batcher = EpochBatcher(train_ds, cfg.dataset.batch_size,
+                           seed=cfg.dataset.shuffle_seed,
+                           drop_last=len(train_ds) > cfg.dataset.batch_size)
 
     # -- model / optimizer / mesh ------------------------------------------
     model_cfg = cfg.model
@@ -150,8 +159,8 @@ def train_tts(cfg: Config, workdir: str, max_steps: Optional[int] = None,
         last_metrics: Dict[str, Any] = {}
         t_last = time.time()
         for step in range(step0, max_steps):
-            batch = _shard_batch(next(train_iter), mesh)
-            rng, sub = jax.random.split(rng)
+            batch = _shard_batch(batcher.batch_at(step), mesh)
+            sub = jax.random.fold_in(rng, step)
             params, opt_state, metrics = train_step(params, opt_state, batch, sub)
 
             if (step + 1) % exp.logging.log_every_steps == 0 or step == step0:

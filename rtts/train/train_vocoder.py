@@ -72,8 +72,6 @@ def train_vocoder(cfg: Config, workdir: str, max_steps: Optional[int] = None,
                                         cfg.dataset.split_seed)
     train_ds = MelAudioDataset(train_man, cfg.dataset, voc.audio_segment_length)
     val_ds = MelAudioDataset(val_man, cfg.dataset, voc.audio_segment_length)
-    train_iter = train_ds.batches(cfg.dataset.batch_size,
-                                  seed=cfg.dataset.shuffle_seed)
 
     initialize_distributed(exp.mesh)
     mesh = make_mesh(exp.mesh)
@@ -107,7 +105,11 @@ def train_vocoder(cfg: Config, workdir: str, max_steps: Optional[int] = None,
         from rtts.train.train_tts import _shard_batch
 
         for step in range(step0, max_steps):
-            batch = _shard_batch(next(train_iter), mesh)
+            # crops drawn from a per-step generator: the data stream is a
+            # pure function of the step counter, so resume is bit-exact
+            crop_rng = np.random.default_rng((cfg.dataset.shuffle_seed, step))
+            batch = _shard_batch(
+                train_ds.sample(crop_rng, cfg.dataset.batch_size), mesh)
             params, opt_state, metrics = train_step(params, opt_state, batch)
 
             if (step + 1) % exp.logging.log_every_steps == 0 or step == step0:

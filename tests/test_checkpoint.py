@@ -1,3 +1,5 @@
+import pathlib
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -60,3 +62,79 @@ def test_missing_leaf_raises(tmp_path):
     with pytest.raises(ValueError, match="missing"):
         restore_checkpoint(latest_checkpoint(tmp_path),
                            {"params": {"a": jnp.ones(2), "b": jnp.ones(2)}})
+
+
+def test_epoch_batcher_is_pure_function_of_step(tmp_path):
+    """batch_at(step) must be identical across independently constructed
+    batchers (the property that makes mid-epoch resume bit-exact)."""
+    from rtts.config import AudioConfig, DatasetConfig, TextConfig
+    from rtts.data.corpus import generate_corpus
+    from rtts.data.dataset import EpochBatcher, Manifest, TextMelDataset
+    from rtts.data.preprocess import preprocess_corpus
+
+    cfg = DatasetConfig(data_dir=str(tmp_path / "data"), audio=AudioConfig(),
+                        text=TextConfig(pad_to_multiple=16), num_workers=0)
+    generate_corpus(tmp_path, n_utterances=7)
+    man = Manifest.load(preprocess_corpus(cfg, str(tmp_path / "transcripts.txt")))
+    ds = TextMelDataset(man, cfg)
+    a = EpochBatcher(ds, batch_size=2, seed=3)
+    b = EpochBatcher(ds, batch_size=2, seed=3)
+    spe = a.steps_per_epoch()
+    assert spe == 4
+    # cross an epoch boundary; query b out of order (resume-style)
+    for step in [0, 1, 5, 9, 2]:
+        ba, bb = a.batch_at(step), b.batch_at(step)
+        for k in ba:
+            np.testing.assert_array_equal(ba[k], bb[k])
+    # different epochs shuffle differently
+    assert not all(
+        np.array_equal(a.batch_at(s)["tokens"], a.batch_at(s + spe)["tokens"])
+        for s in range(spe))
+
+
+def test_train_resume_is_bit_exact(tmp_path):
+    """Train 4 steps straight vs train 2 + resume to 4: final params must
+    match BIT-EXACTLY (step-pure batches + fold_in(step) rng)."""
+    import jax
+
+    from rtts.config import apply_overrides, from_dict, Config
+    from rtts.data.corpus import generate_corpus
+    from rtts.data.preprocess import preprocess_corpus
+    from rtts.train.train_tts import train_tts
+
+    over = [
+        f"dataset.data_dir={tmp_path / 'data'}",
+        "dataset.batch_size=2", "dataset.num_workers=0",
+        "model.d_model=32", "model.n_mels=80",
+        "model.dec_prenet_hidden=16",
+        "model.encoder.num_layers=1", "model.encoder.d_model=32",
+        "model.encoder.d_ff=64",
+        "model.encoder.attention.num_heads=2",
+        "model.encoder.attention.head_dim=16",
+        "model.decoder.num_layers=1", "model.decoder.d_model=32",
+        "model.decoder.d_ff=64", "model.decoder.causal=true",
+        "model.decoder.attention.num_heads=2",
+        "model.decoder.attention.head_dim=16",
+        "model.compute_dtype=float32",
+        "experiment.logging.log_every_steps=1",
+        "experiment.logging.eval_every_steps=2",
+        "experiment.eval_batches=1",
+        "experiment.checkpoint.keep=9",
+    ]
+    cfg = from_dict(Config, apply_overrides({}, over))
+    generate_corpus(tmp_path / "data", n_utterances=5)
+    preprocess_corpus(cfg.dataset, str(tmp_path / "data" / "transcripts.txt"))
+
+    train_tts(cfg, str(tmp_path / "A"), max_steps=4)
+    train_tts(cfg, str(tmp_path / "B"), max_steps=2)
+    train_tts(cfg, str(tmp_path / "B"), max_steps=4)  # resumes from step 2
+
+    from rtts.train.checkpoint import latest_checkpoint
+    pa = latest_checkpoint(tmp_path / "A" / "checkpoints")
+    pb = latest_checkpoint(tmp_path / "B" / "checkpoints")
+    assert pa.endswith("step_4") and pb.endswith("step_4")
+    za = np.load(pathlib.Path(pa) / "leaves.npz")
+    zb = np.load(pathlib.Path(pb) / "leaves.npz")
+    assert set(za.files) == set(zb.files)
+    for k in za.files:
+        np.testing.assert_array_equal(za[k], zb[k], err_msg=k)

@@ -99,3 +99,92 @@ def test_mel_audio_crops(corpus):
     # crop alignment: recompute mel from crop start matches stored window
     # (crop windows come from the same precomputed mel, so just check dtype)
     assert batch["mel"].dtype == np.float32
+
+
+# -- transcript-timing alignment (SURVEY.md §4.4: cut clips from long
+# recordings by transcript timing) ------------------------------------------
+
+
+def test_parse_transcript_line_layouts():
+    from rtts.data.preprocess import parse_transcript_line as p
+
+    assert p("u1|hello world") == ("u1", None, None, None, "hello world")
+    assert p("u1|1.5|3.25|hello") == ("u1", None, 1.5, 3.25, "hello")
+    assert p("u1|rec.wav|1.5|3.25|hi") == ("u1", "rec.wav", 1.5, 3.25, "hi")
+    # text containing '|' survives in the last field
+    assert p("u1|1.0|2.0|a|b") == ("u1", None, 1.0, 2.0, "a|b")
+    assert p("u1|not|a|time") == ("u1", None, None, None, "not|a|time")
+    with pytest.raises(ValueError):
+        p("malformed")
+
+
+def test_timed_transcript_cuts_match_precut(tmp_path):
+    """Cutting utterances out of one long recording by transcript timing
+    must produce the same clips as preprocessing pre-cut wavs."""
+    from rtts.data.corpus import generate_long_recording
+
+    long_dir = tmp_path / "long"
+    cfg_long = DatasetConfig(data_dir=str(long_dir / "data"),
+                             audio=AudioConfig(),
+                             text=TextConfig(pad_to_multiple=16))
+    tpath = generate_long_recording(long_dir, n_utterances=4)
+    man_long = preprocess_corpus(cfg_long, tpath)
+
+    pre_dir = tmp_path / "pre"
+    cfg_pre = DatasetConfig(data_dir=str(pre_dir / "data"),
+                            audio=AudioConfig(),
+                            text=TextConfig(pad_to_multiple=16))
+    generate_corpus(pre_dir, n_utterances=4)
+    man_pre = preprocess_corpus(cfg_pre, str(pre_dir / "transcripts.txt"))
+
+    ml, mp = Manifest.load(man_long), Manifest.load(man_pre)
+    assert len(ml.clips) == len(mp.clips) == 4
+    for cl, cp in zip(ml.clips, mp.clips):
+        assert cl["text"] == cp["text"]
+        assert cl["n_tokens"] == cp["n_tokens"]
+        # silence-trim on the cut clip lands within a frame or two of the
+        # pre-cut clip (cut boundaries are exact; trim sees the same signal)
+        assert abs(cl["n_frames"] - cp["n_frames"]) <= 2
+
+
+def test_timed_cut_empty_raises(tmp_path):
+    from rtts.data.corpus import generate_long_recording
+    from rtts.data.preprocess import preprocess_corpus as pp
+
+    tdir = tmp_path / "bad"
+    generate_long_recording(tdir, n_utterances=1)
+    (tdir / "transcripts_timed.txt").write_text("u0|5000.0|5001.0|hello\n")
+    cfg = DatasetConfig(data_dir=str(tdir / "data"), audio=AudioConfig(),
+                        text=TextConfig())
+    with pytest.raises(ValueError, match="empty cut"):
+        pp(cfg, str(tdir / "transcripts_timed.txt"))
+
+
+def test_download_parses_media_and_timings():
+    """No network: feed HTML bytes straight to the parsers."""
+    from rtts.data.download import (
+        parse_media_url,
+        parse_transcript_page,
+    )
+
+    html = b"""<html><body>
+    <video src="https://cdn.example.com/ep1.mp4?sig=abc"></video>
+    <p data-start="1.25" data-end="3.5">Hello there.</p>
+    <p>No timing here.</p>
+    <script>junk()</script>
+    </body></html>"""
+    assert parse_media_url(html) == "https://cdn.example.com/ep1.mp4?sig=abc"
+    entries = parse_transcript_page(html, "ep1_")
+    assert len(entries) == 2
+    assert entries[0].start_s == 1.25 and entries[0].end_s == 3.5
+    assert entries[0].media_url.endswith("ep1.mp4?sig=abc")
+    assert entries[1].start_s is None
+
+
+def test_download_media_offline_error(tmp_path):
+    from rtts.data.download import TranscriptEntry, download_media
+
+    entries = [TranscriptEntry("u0", "hi",
+                               media_url="http://example.invalid/v.mp4")]
+    with pytest.raises(RuntimeError, match="generate_corpus"):
+        download_media(entries, str(tmp_path))

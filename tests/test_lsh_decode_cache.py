@@ -69,6 +69,95 @@ def test_other_bucket_keys_are_masked():
                                atol=1e-4, rtol=1e-4)
 
 
+def test_chunk_ring_equals_full_prefix_mask_no_overflow():
+    """When no bucket ever exceeds the ring capacity, the O(chunk) ring
+    gathers exactly the set of keys the full-prefix bucket mask admits, so
+    both modes see identical (query, key) pairs per round."""
+    import functools
+
+    from rtts.infer.decode import _self_attn_step_lsh_chunk
+
+    p, h_t, k_cache, v_cache, t = _step_inputs(T=8, t=0)
+    B, T, H, d = k_cache.shape
+    nh, nb, cap = 2, 4, T  # cap == T: nothing can overflow
+    rotations = jax.random.normal(jax.random.PRNGKey(9), (H, d, nh, nb // 2))
+
+    # drive BOTH modes through t = 0..T-1 with the same per-step inputs
+    hs = jax.random.normal(jax.random.PRNGKey(10), (T, B, H * d))
+    kc_m = jnp.zeros_like(k_cache)
+    vc_m = jnp.zeros_like(v_cache)
+    bc = jnp.full((B, H, nh, T), -1, jnp.int32)
+    kc_r = jnp.zeros_like(k_cache)
+    vc_r = jnp.zeros_like(v_cache)
+    ring = {"idx": jnp.full((B, H, nh, nb, cap), -1, jnp.int32),
+            "cnt": jnp.zeros((B, H, nh, nb), jnp.int32)}
+    mask_step = jax.jit(functools.partial(
+        _self_attn_step_lsh, num_heads=H, cdt=None, num_buckets=nb))
+    ring_step = jax.jit(functools.partial(
+        _self_attn_step_lsh_chunk, num_heads=H, cdt=None))
+    for ti in range(T):
+        tt = jnp.asarray(ti)
+        out_m, kc_m, vc_m, bc = mask_step(p, hs[ti], kc_m, vc_m, bc,
+                                          rotations, tt)
+        out_r, kc_r, vc_r, ring = ring_step(p, hs[ti], kc_r, vc_r, ring,
+                                            rotations, tt)
+        np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_m),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_chunk_ring_evicts_oldest():
+    """With capacity 1 and constant-bucket rotations, the step can only see
+    the immediately preceding token (+ itself) — older keys are evicted."""
+    import functools
+
+    from rtts.infer.decode import _proj_heads, _self_attn_step_lsh_chunk
+    from rtts.nn.layers import dense
+    from rtts.attention.full import _len_norm
+
+    p, h_t, k_cache, v_cache, t = _step_inputs(T=8, t=0)
+    B, T, H, d = k_cache.shape
+    nh, nb, cap = 1, 2, 1
+    rotations = jnp.zeros((H, d, nh, nb // 2))  # everyone -> bucket 0
+    hs = jax.random.normal(jax.random.PRNGKey(11), (T, B, H * d))
+    kc = jnp.zeros_like(k_cache)
+    vc = jnp.zeros_like(v_cache)
+    ring = {"idx": jnp.full((B, H, nh, nb, cap), -1, jnp.int32),
+            "cnt": jnp.zeros((B, H, nh, nb), jnp.int32)}
+    step = jax.jit(functools.partial(_self_attn_step_lsh_chunk,
+                                     num_heads=H, cdt=None))
+    outs = []
+    for ti in range(3):
+        out, kc, vc, ring = step(p, hs[ti], kc, vc, ring, rotations,
+                                 jnp.asarray(ti))
+        outs.append(out)
+    # at t=2 only position 1 is in the ring (0 was evicted): the output is
+    # softmax over {key_1 (score), self (-1e5)} ~= value of token 1
+    v1 = _proj_heads(p["w_v"], hs[1], H, None)
+    expected = dense(p["w_o"], v1.reshape(B, -1), None)
+    np.testing.assert_allclose(np.asarray(outs[2]), np.asarray(expected),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_decode_greedy_kv_lsh_chunk_runs_and_matches_kv_lsh():
+    cfg = lsh_cfg(reversible=False)
+    params = M.init(jax.random.PRNGKey(0), cfg)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 64), 3, vocab_size())
+    tmask = jnp.ones((2, 64), bool)
+    memory = M.encode(params, cfg, tokens, tmask)
+
+    run = lambda mode: jax.jit(
+        lambda p, m, mm: decode_greedy(p, cfg, m, mm, max_frames=32,
+                                       stop_threshold=2.0, mode=mode)
+    )(params, memory, tmask)
+    mel_chunk, lengths, _ = run("kv_lsh_chunk")
+    assert np.isfinite(np.asarray(mel_chunk)).all()
+    # ring capacity (chunk 16 * lookback) >= 32 frames: no bucket can
+    # overflow, so the O(chunk) path must match the full-prefix mask mode
+    mel_mask, _, _ = run("kv_lsh")
+    np.testing.assert_allclose(np.asarray(mel_chunk), np.asarray(mel_mask),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_decode_greedy_kv_lsh_runs():
     cfg = lsh_cfg(reversible=False)
     params = M.init(jax.random.PRNGKey(0), cfg)

@@ -15,7 +15,8 @@ from rtts.parallel.seq_parallel import lsh_attention_seq_parallel
 
 
 @pytest.mark.parametrize("causal", [False, True])
-def test_seq_parallel_matches_single_device(causal):
+@pytest.mark.parametrize("exchange", ["allgather", "ring"])
+def test_seq_parallel_matches_single_device(causal, exchange):
     n_dev = 4
     mesh = make_mesh(MeshConfig(data_parallel=1, model_parallel=n_dev))
     b, h, l, d = 2, 2, 256, 32
@@ -42,9 +43,82 @@ def test_seq_parallel_matches_single_device(causal):
         v_s = jax.device_put(v, shard)
         mask_s = jax.device_put(mask, NamedSharding(mesh, P(None, "model")))
         out = lsh_attention_seq_parallel(qk_s, v_s, cfg, mask_s, causal,
-                                         rotations, mesh)
+                                         rotations, mesh, exchange=exchange)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_stack_seq_parallel_matches_single_device():
+    """The model-integration path: ReformerStackConfig.seq_parallel_axis
+    routes LSH self-attention through shard_map; output must equal the
+    single-device stack (same rng => same hash rotations)."""
+    import dataclasses
+
+    from rtts.config import ReformerStackConfig
+    from rtts.models.stack import stack_apply, stack_init
+
+    n_dev = 8
+    mesh = make_mesh(MeshConfig(data_parallel=1, model_parallel=n_dev))
+    acfg = AttentionConfig(kind="lsh", num_heads=2, head_dim=16, num_hashes=2,
+                           num_buckets=8, chunk_length=16,
+                           num_chunks_before=1, use_pallas=False)
+    base = ReformerStackConfig(num_layers=2, d_model=32, d_ff=64,
+                               dropout=0.0, reversible=True, causal=False,
+                               attention=acfg, use_pallas_ffn=False)
+    key = jax.random.PRNGKey(3)
+    params = stack_init(key, base, cross_attend=False)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (2, 128, 32))
+    mask = jnp.ones((2, 128), bool)
+
+    ref = stack_apply(params, base, x, mask, rng=jax.random.PRNGKey(5),
+                      deterministic=True)
+    for exchange in ("allgather", "ring"):
+        sp = dataclasses.replace(base, seq_parallel_axis="model",
+                                 seq_parallel_exchange=exchange)
+        with mesh:
+            out = jax.jit(lambda p, xx, mm: stack_apply(
+                p, sp, xx, mm, rng=jax.random.PRNGKey(5),
+                deterministic=True))(params, x, mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_train_step_seq_parallel_grads_match():
+    """Forward+loss+grads through the reversible stack with seq-parallel
+    attention on an 8-device mesh match the single-device values (the
+    backward re-enters shard_map via the deterministic hash recompute)."""
+    import dataclasses
+
+    from rtts.config import ReformerStackConfig
+    from rtts.models.stack import stack_apply, stack_init
+
+    n_dev = 8
+    mesh = make_mesh(MeshConfig(data_parallel=1, model_parallel=n_dev))
+    acfg = AttentionConfig(kind="lsh", num_heads=2, head_dim=16, num_hashes=1,
+                           num_buckets=8, chunk_length=16,
+                           num_chunks_before=1, use_pallas=False)
+    base = ReformerStackConfig(num_layers=2, d_model=32, d_ff=64,
+                               dropout=0.0, reversible=True, causal=True,
+                               attention=acfg, use_pallas_ffn=False)
+    sp = dataclasses.replace(base, seq_parallel_axis="model")
+    key = jax.random.PRNGKey(4)
+    params = stack_init(key, base, cross_attend=False)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (2, 128, 32))
+    mask = jnp.ones((2, 128), bool)
+
+    def loss(p, cfg):
+        y = stack_apply(p, cfg, x, mask, rng=jax.random.PRNGKey(5),
+                        deterministic=True)
+        return (y ** 2).mean()
+
+    l_ref, g_ref = jax.value_and_grad(lambda p: loss(p, base))(params)
+    with mesh:
+        l_sp, g_sp = jax.jit(
+            jax.value_and_grad(lambda p: loss(p, sp)))(params)
+    np.testing.assert_allclose(float(l_sp), float(l_ref), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_sp), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=3e-5)
 
 
 def test_seq_parallel_under_jit():
