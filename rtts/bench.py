@@ -384,21 +384,24 @@ def bench_longform(cfg: Optional[Config] = None, batch: int = 2,
     return r
 
 
-def _time_loop(fn, x, iters: int = 32, repeats: int = 5) -> float:
+def _time_loop(fn, x, extra=(), iters: int = 32, repeats: int = 5) -> float:
     """Per-iteration wall time of a shape-preserving op, amortized.
 
-    ``fn`` must map x -> same-shape output; it is chained ``iters`` times
-    inside ONE jit via fori_loop (output feeds the next input, so XLA can't
-    elide iterations).  Amortization matters on the axon-tunneled TPU,
-    where a single dispatch costs ~25 ms of round-trip latency — timing one
-    call measures the tunnel, not the kernel."""
-    loop = jax.jit(lambda x0: jax.lax.fori_loop(
-        0, iters, lambda i, xx: fn(xx), x0))
-    _sync(loop(x))
+    ``fn(x, *extra)`` must return an x-shaped output; it is chained
+    ``iters`` times inside ONE jit via fori_loop (output feeds the next
+    input, so XLA can't elide iterations).  Amortization matters on the
+    axon-tunneled TPU, where a single dispatch costs ~25 ms of round-trip
+    latency — timing one call measures the tunnel, not the kernel.
+    ``extra`` operands are passed as jit ARGUMENTS, not closure constants:
+    embedded constants measurably distort custom-call timing on this
+    backend (and model usage passes runtime values anyway)."""
+    loop = jax.jit(lambda x0, *rest: jax.lax.fori_loop(
+        0, iters, lambda i, xx: fn(xx, *rest), x0))
+    _sync(loop(x, *extra))
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        _sync(loop(x))
+        _sync(loop(x, *extra))
         times.append(time.perf_counter() - t0)
     return min(times) / iters
 
@@ -439,20 +442,21 @@ def bench_kernels(repeats: int = 5) -> Dict[str, Any]:
     pos_c = sorted_pos.reshape(b, h, nc, c)
     val_c = jnp.ones((b, h, nc, c), bool)
 
-    ref_fn = lambda q: lsh_attend_chunks(q, k_c, v_c, pos_c, val_c,
-                                         True, 1, 0)[0]
-    pl_fn = lambda q: lsh_attend_chunks_pallas(
-        q, k_c, v_c, pos_c, val_c, True, 1, 0, interpret=not on_tpu)[0]
-    t_ref = _time_loop(ref_fn, q_c, repeats=repeats)
-    t_pl = _time_loop(pl_fn, q_c, repeats=repeats)
+    ref_fn = lambda q, k, v: lsh_attend_chunks(q, k, v, pos_c, val_c,
+                                               True, 1, 0)[0]
+    pl_fn = lambda q, k, v: lsh_attend_chunks_pallas(
+        q, k, v, pos_c, val_c, True, 1, 0, interpret=not on_tpu)[0]
+    kv = (k_c, v_c)
+    t_ref = _time_loop(ref_fn, q_c, kv, repeats=repeats)
+    t_pl = _time_loop(pl_fn, q_c, kv, repeats=repeats)
     results["lsh_attend_fwd"] = {"xla_ms": t_ref * 1e3, "pallas_ms": t_pl * 1e3,
                                  "speedup": t_ref / t_pl}
-    g_ref = lambda q: jax.grad(
-        lambda a: ref_fn(a).astype(jnp.float32).sum())(q)
-    g_pl = lambda q: jax.grad(
-        lambda a: pl_fn(a).astype(jnp.float32).sum())(q)
-    t_ref = _time_loop(g_ref, q_c, repeats=repeats)
-    t_pl = _time_loop(g_pl, q_c, repeats=repeats)
+    g_ref = lambda q, k, v: jax.grad(
+        lambda a: ref_fn(a, k, v).astype(jnp.float32).sum())(q)
+    g_pl = lambda q, k, v: jax.grad(
+        lambda a: pl_fn(a, k, v).astype(jnp.float32).sum())(q)
+    t_ref = _time_loop(g_ref, q_c, kv, repeats=repeats)
+    t_pl = _time_loop(g_pl, q_c, kv, repeats=repeats)
     results["lsh_attend_fwdbwd"] = {"xla_ms": t_ref * 1e3,
                                     "pallas_ms": t_pl * 1e3,
                                     "speedup": t_ref / t_pl}
@@ -463,18 +467,18 @@ def bench_kernels(repeats: int = 5) -> Dict[str, Any]:
     k1, k2 = jax.random.split(jax.random.PRNGKey(4))
     fp = {"ln": layer_norm_init(dm), "w_in": dense_init(k1, dm, dff),
           "w_out": dense_init(k2, dff, dm)}
-    ref_fn = lambda xx: _ref_ffn(fp, xx, "gelu")
-    pl_fn = lambda xx: chunked_ffn_pallas(fp, xx, "gelu",
-                                          interpret=not on_tpu)
-    t_ref = _time_loop(ref_fn, x, repeats=repeats)
-    t_pl = _time_loop(pl_fn, x, repeats=repeats)
+    ref_fn = lambda xx, p: _ref_ffn(p, xx, "gelu")
+    pl_fn = lambda xx, p: chunked_ffn_pallas(p, xx, "gelu",
+                                             interpret=not on_tpu)
+    t_ref = _time_loop(ref_fn, x, (fp,), repeats=repeats)
+    t_pl = _time_loop(pl_fn, x, (fp,), repeats=repeats)
     results["chunked_ffn_fwd"] = {"xla_ms": t_ref * 1e3,
                                   "pallas_ms": t_pl * 1e3,
                                   "speedup": t_ref / t_pl}
-    g_ref = lambda xx: jax.grad(lambda a: ref_fn(a).sum())(xx)
-    g_pl = lambda xx: jax.grad(lambda a: pl_fn(a).sum())(xx)
-    t_ref = _time_loop(g_ref, x, repeats=repeats)
-    t_pl = _time_loop(g_pl, x, repeats=repeats)
+    g_ref = lambda xx, p: jax.grad(lambda a: ref_fn(a, p).sum())(xx)
+    g_pl = lambda xx, p: jax.grad(lambda a: pl_fn(a, p).sum())(xx)
+    t_ref = _time_loop(g_ref, x, (fp,), repeats=repeats)
+    t_pl = _time_loop(g_pl, x, (fp,), repeats=repeats)
     results["chunked_ffn_fwdbwd"] = {"xla_ms": t_ref * 1e3,
                                      "pallas_ms": t_pl * 1e3,
                                      "speedup": t_ref / t_pl}
@@ -485,11 +489,11 @@ def bench_kernels(repeats: int = 5) -> Dict[str, Any]:
     wd = jax.random.normal(jax.random.PRNGKey(6), (ks, 1, cch),
                            jnp.float32) * 0.1
     bd = jnp.zeros((cch,), jnp.float32)
-    ref_fn = lambda xx: _ref_dw(xx, wd, bd)
-    pl_fn = lambda xx: depthwise_conv1d_pallas(xx, wd, bd,
-                                               interpret=not on_tpu)
-    t_ref = _time_loop(ref_fn, xd, repeats=repeats)
-    t_pl = _time_loop(pl_fn, xd, repeats=repeats)
+    ref_fn = lambda xx, w, b: _ref_dw(xx, w, b)
+    pl_fn = lambda xx, w, b: depthwise_conv1d_pallas(xx, w, b,
+                                                     interpret=not on_tpu)
+    t_ref = _time_loop(ref_fn, xd, (wd, bd), repeats=repeats)
+    t_pl = _time_loop(pl_fn, xd, (wd, bd), repeats=repeats)
     results["depthwise_conv_fwd"] = {"xla_ms": t_ref * 1e3,
                                      "pallas_ms": t_pl * 1e3,
                                      "speedup": t_ref / t_pl}

@@ -90,8 +90,14 @@ class AttentionConfig:
     # mask penalty asymmetry (reference semantics): hard mask vs self-attend
     mask_value: float = -1e9
     self_mask_value: float = -1e5
-    # fused Pallas chunk-attend kernel (falls back to interpret mode off-TPU)
-    use_pallas: bool = True
+    # fused Pallas chunk-attend kernel (falls back to interpret mode
+    # off-TPU).  Default OFF: measured on v5e (BENCH.md r2), the attend op
+    # is HBM-bandwidth-bound and XLA's fused path beats every Pallas
+    # structure tried (best 3.2 ms vs 1.57 ms at flagship shapes) because
+    # Pallas DMA streams reach ~half of XLA's effective bandwidth on this
+    # backend.  The kernel stays available (more accurate: f32-accumulated
+    # scores, 10x closer to the f32 oracle than XLA's bf16 path).
+    use_pallas: bool = False
 
 
 @dataclass(frozen=True)
@@ -106,7 +112,9 @@ class ReformerStackConfig:
     dropout: float = 0.1
     reversible: bool = True
     causal: bool = False
-    use_pallas_ffn: bool = True   # fused LN+FFN kernel on TPU
+    # fused LN+FFN kernel: measured a wash on v5e (0.95-1.01x vs XLA,
+    # BENCH.md r2) — default OFF, available for accuracy-sensitive runs
+    use_pallas_ffn: bool = False
     attention: AttentionConfig = field(default_factory=AttentionConfig)
     # optional per-layer attention kinds (e.g. ["local","lsh","local","lsh"]
     # — the reference lineage's interleaved attn_layers); None => all layers

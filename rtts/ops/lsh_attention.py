@@ -8,31 +8,31 @@ Why a kernel at all: the jnp reference
 (rtts/attention/lsh.py::lsh_attend_chunks) materializes BOTH the
 adjacency-expanded keys/values (2-3x K/V copies via roll+concat) AND the
 full (B, H, nc, c, kc) float32 score tensor in HBM — at flagship shapes the
-scores alone are ~0.5 GB of read+write traffic, which is where all the XLA
-path's time goes (measured bandwidth-bound).
+scores alone are ~0.5 GB of read+write traffic.
 
-Kernel structure (v3; v1's one-chunk-per-program grid was overhead
-dominated and v2's VMEM-resident rows serialized on dynamic slices —
-both LOST to XLA; measured in BENCH.md):
+Kernel structure (v4 — see BENCH.md for the measured history: v1's
+one-chunk-per-program grid was launch-overhead bound; v2 serialized on
+in-kernel dynamic slices; v3's window concatenation forced the
+positions/validity streams into (…, c, 1)-shaped blocks whose tile padding
+made their DMAs ~25x slower than the math):
 - grid (B*H, nc / CB): each program owns CB consecutive sorted chunks.
-- the neighbor chunks come in as two extra K/V BLOCKS fetched through
-  (j±1 mod nblocks) BlockSpec index maps — the modulo also realizes
-  _look_adjacent's circular wraparound, so there is NO adjacency
-  materialization in HBM and no dynamic slicing in the kernel.
-- per-chunk windows are assembled with static slices and attended with ONE
-  batched dot_general over the CB chunks (MXU, f32 accumulation).
-- scores, masks, softmax live entirely in VMEM; only the (CB, c, d) output
-  and (CB, c) logsumexp blocks are written back.
-HBM traffic: Q + 3K + 3V + O + lse, fully pipelined by the grid.
+- each neighbor offset comes in as its OWN set of host-rolled streams
+  (roll by -off on the chunk axis — XLA emits cheap copies), so every
+  block is a plain (1, CB, c, d) / (1, CB, c) tile-aligned slab with an
+  affine index map and NOTHING is ever concatenated or sliced on a tiled
+  dimension inside the kernel.
+- the softmax is accumulated ACROSS offsets flash-attention style
+  (running max / sum / weighted output), entirely in VMEM, in float32;
+  only the (CB, c, d) output and (CB, c) logsumexp leave the kernel.
 
 Masking semantics are identical to the reference path: key-invalid -> -1e9,
 causal (original positions) -> -1e9, self-attention -> -1e5.  MXU matmuls
-accumulate in float32.
+accumulate in float32 (measured 10x closer to an f32-highest oracle than
+XLA's bf16 einsum path).
 
-Backward: a fused kernel with the same row-resident structure recomputes
-the masked softmax in VMEM and emits dQ directly plus dK/dV in the
-adjacency-expanded layout (reduced back by ``_unlook_adjacent`` — one
-cheap HBM pass, still no score-tensor traffic).
+Backward: a fused kernel with the same per-offset streams recomputes the
+joint softmax (multi-pass over the resident score blocks) and emits dQ
+plus per-offset dK/dV, un-rolled and summed host-side.
 """
 
 from __future__ import annotations
@@ -45,74 +45,65 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# scoped-VMEM ceiling for the kernels (v5e has 128M physical)
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+
+# chunk block: 8 keeps the (1, CB, c) position blocks tile-legal
+# (second-minor divisible by 8) while amortizing program launches
+_CB = 8
 
 
-def _build_windows(prev, main, nxt, before, after):
-    """Per-chunk neighbor windows from three consecutive chunk blocks.
-
-    prev/main/nxt: (cb, c, ...) — the program's cb chunks plus its two
-    neighbor BLOCKS (fetched via (j±1) mod nblocks BlockSpec index maps,
-    which also realizes the circular wraparound of _look_adjacent).
-    Returns (cb, w*c, ...) where chunk i's window is chunks
-    [i-before .. i+after] in _look_adjacent order.  All slices are static:
-    offset ``off`` contributes ext[cb+off : 2*cb+off]."""
-    cb = main.shape[0]
-    ext = jnp.concatenate([prev, main, nxt], axis=0)      # (3cb, c, ...)
-    parts = [jax.lax.slice_in_dim(ext, cb + off, 2 * cb + off, axis=0)
-             for off in range(-before, after + 1)]
-    return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+def _offsets(before: int, after: int):
+    return list(range(-before, after + 1))
 
 
-def _attend_kernel(q_ref, k_ref, kp_ref, kn_ref, v_ref, vp_ref, vn_ref,
-                   qpos_ref, kpos_ref, kpp_ref, kpn_ref,
-                   kval_ref, kvp_ref, kvn_ref,
-                   out_ref, lse_ref, *, before: int, after: int,
-                   causal: bool, mask_value: float, self_mask_value: float):
-    q = q_ref[0]                                      # (cb, c, d)
-    k_win = _build_windows(kp_ref[0], k_ref[0], kn_ref[0], before, after)
-    v_win = _build_windows(vp_ref[0], v_ref[0], vn_ref[0], before, after)
-    # positions/validity ride a trailing singleton dim so the chunk axis is
-    # untiled (Mosaic: slicing/concat must not offset a tiled dimension)
-    kp = _build_windows(kpp_ref[0], kpos_ref[0], kpn_ref[0], before,
-                        after)[..., 0]                # (cb, wc)
-    kv = _build_windows(kvp_ref[0], kval_ref[0], kvn_ref[0], before,
-                        after)[..., 0]
-    qp = qpos_ref[0][..., 0]                          # (cb, c)
+def _attend_kernel(*refs, n_off: int, causal: bool, mask_value: float,
+                   self_mask_value: float):
+    """refs: q, qpos, then per offset (k, v, kpos, kval); outs (out, lse)."""
+    q_ref, qpos_ref = refs[0], refs[1]
+    out_ref, lse_ref = refs[-2], refs[-1]
+    q = q_ref[0]                                     # (cb, c, d)
+    qp = qpos_ref[0]                                 # (cb, c)
 
-    # one batched MXU matmul over the cb chunks: (cb, c, d) x (cb, wc, d)
-    scores = jax.lax.dot_general(
-        q, k_win, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)           # (cb, c, wc)
-    scores = jnp.where((kv == 1)[:, None, :], scores, mask_value)
-    if causal:
-        scores = jnp.where(qp[:, :, None] >= kp[:, None, :], scores,
-                           mask_value)
-    scores = jnp.where(qp[:, :, None] == kp[:, None, :], self_mask_value,
-                       scores)
+    m = None
+    s = None
+    acc = None
+    for o in range(n_off):
+        k = refs[2 + 4 * o][0]
+        v = refs[3 + 4 * o][0]
+        kp = refs[4 + 4 * o][0]
+        kv = refs[5 + 4 * o][0]
+        sc = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)      # (cb, c, c)
+        sc = jnp.where((kv == 1)[:, None, :], sc, mask_value)
+        if causal:
+            sc = jnp.where(qp[:, :, None] >= kp[:, None, :], sc, mask_value)
+        sc = jnp.where(qp[:, :, None] == kp[:, None, :], self_mask_value, sc)
+        m_o = jnp.max(sc, axis=-1, keepdims=True)    # (cb, c, 1)
+        if m is None:
+            m = m_o
+            e = jnp.exp(sc - m)
+            s = jnp.sum(e, axis=-1, keepdims=True)
+            acc = jax.lax.dot_general(
+                e.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+        else:
+            m_new = jnp.maximum(m, m_o)
+            alpha = jnp.exp(m - m_new)
+            e = jnp.exp(sc - m_new)
+            s = s * alpha + jnp.sum(e, axis=-1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot_general(
+                e.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            m = m_new
+    lse_ref[0] = m + jnp.log(s)                      # (cb, c, 1)
+    out_ref[0] = (acc / s).astype(out_ref.dtype)
 
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - m)
-    s = jnp.sum(e, axis=-1, keepdims=True)
-    lse_ref[0] = m + jnp.log(s)                       # (cb, c, 1)
-    probs = (e / s).astype(v_win.dtype)
-    out_ref[0] = jax.lax.dot_general(
-        probs, v_win, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
-
-# scoped-VMEM ceiling for the kernels (v5e has 128M physical; the batched
-# dot_general's window assembly scales with cb, so the default 16M is tight)
-_VMEM_LIMIT = 100 * 1024 * 1024
-_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
-
-
-def _pick_cb(nc: int, before: int, after: int) -> int:
-    # larger cb amortizes program launches; scoped VMEM grows ~linearly in
-    # cb (~4M/chunk at c=d=64 bf16), kept under _VMEM_LIMIT by the cap
-    for cb in (8, 4, 2, 1):
-        if nc % cb == 0 and cb >= before and cb >= after:
-            return cb
-    return 0
+def _roll_chunks(x, off):
+    """chunk i of the result = chunk i+off of x (wrapping)."""
+    return x if off == 0 else jnp.roll(x, -off, axis=1)
 
 
 def _attend_pallas_raw(q, k, v, q_pos, k_pos, k_valid, causal, before,
@@ -120,34 +111,34 @@ def _attend_pallas_raw(q, k, v, q_pos, k_pos, k_valid, causal, before,
     """q/k/v: (N, nc, c, d) chunk rows (N = B*H); positions/valid
     (N, nc, c) int32.  Returns (out (N, nc, c, d), lse (N, nc, c))."""
     n, nc, c, d = q.shape
-    cb = _pick_cb(nc, before, after)
+    cb = _CB
+    offs = _offsets(before, after)
     kernel = functools.partial(
-        _attend_kernel, before=before, after=after, causal=causal,
+        _attend_kernel, n_off=len(offs), causal=causal,
         mask_value=mask_value, self_mask_value=self_mask_value)
     nb = nc // cb
-    grid = (n, nb)
-    blk = lambda shape, imap: pl.BlockSpec(shape, imap,
-                                           memory_space=pltpu.VMEM)
-    m3 = blk((1, cb, c, d), lambda i, j: (i, j, 0, 0))
-    p3 = blk((1, cb, c, d), lambda i, j: (i, (j + nb - 1) % nb, 0, 0))
-    n3 = blk((1, cb, c, d), lambda i, j: (i, (j + 1) % nb, 0, 0))
-    m1 = blk((1, cb, c, 1), lambda i, j: (i, j, 0, 0))
-    p1 = blk((1, cb, c, 1), lambda i, j: (i, (j + nb - 1) % nb, 0, 0))
-    n1 = blk((1, cb, c, 1), lambda i, j: (i, (j + 1) % nb, 0, 0))
-    qp4 = q_pos[..., None]
-    kp4 = k_pos[..., None]
-    kv4 = k_valid[..., None]
+    blk = lambda shape: pl.BlockSpec(
+        shape, (lambda i, j: (i, j, 0, 0)) if len(shape) == 4
+        else (lambda i, j: (i, j, 0)), memory_space=pltpu.VMEM)
+    b3 = blk((1, cb, c, d))
+    b2 = blk((1, cb, c))
+    b1 = blk((1, cb, c, 1))
+    args = [q, q_pos]
+    specs = [b3, b2]
+    for off in offs:
+        args += [_roll_chunks(k, off), _roll_chunks(v, off),
+                 _roll_chunks(k_pos, off), _roll_chunks(k_valid, off)]
+        specs += [b3, b3, b2, b2]
     out, lse = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[m3, m3, p3, n3, m3, p3, n3,
-                  m1, m1, p1, n1, m1, p1, n1],
-        out_specs=(m3, m1),
+        grid=(n, nb),
+        in_specs=specs,
+        out_specs=(b3, b1),
         out_shape=(jax.ShapeDtypeStruct((n, nc, c, d), q.dtype),
                    jax.ShapeDtypeStruct((n, nc, c, 1), jnp.float32)),
         compiler_params=None if interpret else _COMPILER_PARAMS,
         interpret=interpret,
-    )(q, k, k, k, v, v, v, qp4, kp4, kp4, kp4, kv4, kv4, kv4)
+    )(*args)
     return out, lse[..., 0]
 
 
@@ -164,113 +155,137 @@ def _ref_attend(q_c, k_c, v_c, pos_c, val_c, causal, before, after,
 # ---------------------------------------------------------------------------
 
 
-def _attend_bwd_kernel(q_ref, k_ref, kp_ref, kn_ref, v_ref, vp_ref, vn_ref,
-                       qpos_ref, kpos_ref, kpp_ref, kpn_ref,
-                       kval_ref, kvp_ref, kvn_ref, dout_ref, dlse_ref,
-                       dq_ref, dk_ref, dv_ref, *, before: int, after: int,
-                       causal: bool, mask_value: float,
+def _attend_bwd_kernel(*refs, n_off: int, causal: bool, mask_value: float,
                        self_mask_value: float):
-    """Recompute the masked softmax in VMEM and produce dQ directly plus
-    dK/dV in the adjacency-expanded (wc = (1+before+after)*c) layout.
+    """refs: q, qpos, per-offset (k, v, kpos, kval), dout, dlse;
+    outs: dq, then per-offset (dk_o, dv_o).
 
     Softmax backward with BOTH cotangents (output and logsumexp):
         dS = P * (dP - rowsum(dP * P)) + P * dlse
-    where dP = dO @ V^T.  Gradient gating through the masking `where`s:
-    hard-masked entries have P == 0 (so dS == 0 automatically), but the
-    SELF entries were overwritten with a constant (-1e5): P_self > 0 while
-    d(score)/d(inputs) == 0, so dS at self entries is zeroed explicitly.
-    The V path does not pass through the `where`s, so dV keeps all entries.
-    """
-    q = q_ref[0].astype(jnp.float32)                  # (cb, c, d)
-    k_win = _build_windows(kp_ref[0], k_ref[0], kn_ref[0], before, after
-                           ).astype(jnp.float32)      # (cb, wc, d)
-    v_win = _build_windows(vp_ref[0], v_ref[0], vn_ref[0], before, after
-                           ).astype(jnp.float32)
-    kp = _build_windows(kpp_ref[0], kpos_ref[0], kpn_ref[0], before,
-                        after)[..., 0]
-    kv = _build_windows(kvp_ref[0], kval_ref[0], kvn_ref[0], before,
-                        after)[..., 0]
-    qp = qpos_ref[0][..., 0]
-    dout = dout_ref[0].astype(jnp.float32)            # (cb, c, d)
-    dlse = dlse_ref[0][..., 0]                        # (cb, c) f32
+    where dP = dO @ V^T.  Hard-masked entries have P == 0 (dS == 0
+    automatically); SELF entries were overwritten with a constant (-1e5):
+    P_self > 0 while d(score)/d(inputs) == 0, so dS is zeroed there.  The
+    V path does not pass through the `where`s, so dV keeps all entries.
+    The joint softmax over all offsets is recomputed in VMEM (pass 1:
+    masked scores + joint max; pass 2: probabilities + rowsum; pass 3:
+    gradients)."""
+    q_ref, qpos_ref = refs[0], refs[1]
+    dout_ref = refs[2 + 4 * n_off]
+    dlse_ref = refs[3 + 4 * n_off]
+    dq_ref = refs[4 + 4 * n_off]
+    q = q_ref[0].astype(jnp.float32)
+    qp = qpos_ref[0]
+    dout = dout_ref[0].astype(jnp.float32)
+    dlse = dlse_ref[0]                               # (cb, c, 1)
 
-    bdot = lambda a, b, ca, cb_: jax.lax.dot_general(
-        a, b, (((ca,), (cb_,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    scores = bdot(q, k_win, 2, 2)                     # (cb, c, wc)
-    scores = jnp.where((kv == 1)[:, None, :], scores, mask_value)
-    if causal:
-        scores = jnp.where(qp[:, :, None] >= kp[:, None, :], scores,
-                           mask_value)
-    self_m = qp[:, :, None] == kp[:, None, :]
-    scores = jnp.where(self_m, self_mask_value, scores)
+    scs = []
+    selfs = []
+    m = None
+    for o in range(n_off):
+        k = refs[2 + 4 * o][0].astype(jnp.float32)
+        kp = refs[4 + 4 * o][0]
+        kv = refs[5 + 4 * o][0]
+        sc = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        sc = jnp.where((kv == 1)[:, None, :], sc, mask_value)
+        if causal:
+            sc = jnp.where(qp[:, :, None] >= kp[:, None, :], sc, mask_value)
+        self_m = qp[:, :, None] == kp[:, None, :]
+        sc = jnp.where(self_m, self_mask_value, sc)
+        scs.append(sc)
+        selfs.append(self_m)
+        m_o = jnp.max(sc, axis=-1, keepdims=True)
+        m = m_o if m is None else jnp.maximum(m, m_o)
 
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)        # (cb, c, wc)
+    s = None
+    for o in range(n_off):
+        e = jnp.exp(scs[o] - m)
+        scs[o] = e
+        se = jnp.sum(e, axis=-1, keepdims=True)
+        s = se if s is None else s + se
 
-    # dV = P^T @ dO  per chunk: contract the c axis
-    dv_ref[0] = bdot(p.transpose(0, 2, 1), dout, 2, 1).astype(dv_ref.dtype)
-    dp = bdot(dout, v_win, 2, 2)                      # (cb, c, wc)
-    row = jnp.sum(dp * p, axis=-1, keepdims=True)
-    ds = p * (dp - row) + p * dlse[:, :, None]
-    ds = jnp.where(self_m, 0.0, ds)                   # constant-overwritten
-    dq_ref[0] = bdot(ds, k_win, 2, 1).astype(dq_ref.dtype)
-    dk_ref[0] = bdot(ds.transpose(0, 2, 1), q, 2, 1).astype(dk_ref.dtype)
+    row = None
+    dps = []
+    for o in range(n_off):
+        p = scs[o] / s
+        scs[o] = p
+        v = refs[3 + 4 * o][0].astype(jnp.float32)
+        dp = jax.lax.dot_general(
+            dout, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dps.append(dp)
+        r_o = jnp.sum(dp * p, axis=-1, keepdims=True)
+        row = r_o if row is None else row + r_o
+
+    dq = None
+    for o in range(n_off):
+        p = scs[o]
+        ds = p * (dps[o] - row) + p * dlse
+        ds = jnp.where(selfs[o], 0.0, ds)
+        k = refs[2 + 4 * o][0].astype(jnp.float32)
+        dq_o = jax.lax.dot_general(
+            ds, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dq = dq_o if dq is None else dq + dq_o
+        refs[5 + 4 * n_off + 2 * o][0] = jax.lax.dot_general(
+            ds.transpose(0, 2, 1), q, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(q_ref.dtype)
+        refs[6 + 4 * n_off + 2 * o][0] = jax.lax.dot_general(
+            p.transpose(0, 2, 1), dout, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(q_ref.dtype)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
 def _attend_bwd_pallas_raw(q, k, v, q_pos, k_pos, k_valid, dout,
                            dlse, causal, before, after, mask_value,
                            self_mask_value, interpret):
     n, nc, c, d = q.shape
-    wc = (1 + before + after) * c
-    cb = _pick_cb(nc, before, after)
+    cb = _CB
+    offs = _offsets(before, after)
     kernel = functools.partial(
-        _attend_bwd_kernel, before=before, after=after, causal=causal,
+        _attend_bwd_kernel, n_off=len(offs), causal=causal,
         mask_value=mask_value, self_mask_value=self_mask_value)
-    nb = nc // cb
-    blk = lambda shape, imap: pl.BlockSpec(shape, imap,
-                                           memory_space=pltpu.VMEM)
-    m3 = blk((1, cb, c, d), lambda i, j: (i, j, 0, 0))
-    p3 = blk((1, cb, c, d), lambda i, j: (i, (j + nb - 1) % nb, 0, 0))
-    n3 = blk((1, cb, c, d), lambda i, j: (i, (j + 1) % nb, 0, 0))
-    m1 = blk((1, cb, c, 1), lambda i, j: (i, j, 0, 0))
-    p1 = blk((1, cb, c, 1), lambda i, j: (i, (j + nb - 1) % nb, 0, 0))
-    n1 = blk((1, cb, c, 1), lambda i, j: (i, (j + 1) % nb, 0, 0))
-    mk = blk((1, cb, wc, d), lambda i, j: (i, j, 0, 0))
-    qp4 = q_pos[..., None]
-    kp4 = k_pos[..., None]
-    kv4 = k_valid[..., None]
-    return pl.pallas_call(
+    blk = lambda shape: pl.BlockSpec(
+        shape, (lambda i, j: (i, j, 0, 0)) if len(shape) == 4
+        else (lambda i, j: (i, j, 0)), memory_space=pltpu.VMEM)
+    b3 = blk((1, cb, c, d))
+    b2 = blk((1, cb, c))
+    b1 = blk((1, cb, c, 1))
+    args = [q, q_pos]
+    specs = [b3, b2]
+    for off in offs:
+        args += [_roll_chunks(k, off), _roll_chunks(v, off),
+                 _roll_chunks(k_pos, off), _roll_chunks(k_valid, off)]
+        specs += [b3, b3, b2, b2]
+    args += [dout, dlse[..., None]]
+    specs += [b3, b1]
+    out_specs = tuple([b3] * (1 + 2 * len(offs)))
+    out_shape = [jax.ShapeDtypeStruct((n, nc, c, d), q.dtype)]
+    for _ in offs:
+        out_shape += [jax.ShapeDtypeStruct((n, nc, c, d), k.dtype),
+                      jax.ShapeDtypeStruct((n, nc, c, d), v.dtype)]
+    res = pl.pallas_call(
         kernel,
-        grid=(n, nb),
-        in_specs=[m3, m3, p3, n3, m3, p3, n3,
-                  m1, m1, p1, n1, m1, p1, n1, m3, m1],
-        out_specs=(m3, mk, mk),
-        out_shape=(
-            jax.ShapeDtypeStruct((n, nc, c, d), q.dtype),
-            jax.ShapeDtypeStruct((n, nc, wc, d), k.dtype),
-            jax.ShapeDtypeStruct((n, nc, wc, d), v.dtype),
-        ),
+        grid=(n, nc // cb),
+        in_specs=specs,
+        out_specs=out_specs,
+        out_shape=tuple(out_shape),
         compiler_params=None if interpret else _COMPILER_PARAMS,
         interpret=interpret,
-    )(q, k, k, k, v, v, v, qp4, kp4, kp4, kp4, kv4, kv4, kv4, dout,
-      dlse[..., None])
-
-
-def _unlook_adjacent(x_adj: jnp.ndarray, before: int, after: int,
-                     c: int) -> jnp.ndarray:
-    """VJP of _look_adjacent: split the expanded key axis back into the
-    window slices and roll each gradient slice back to its source chunk."""
-    if before == 0 and after == 0:
-        return x_adj
-    slices = jnp.split(x_adj, before + after + 1, axis=-2)
-    out = None
-    for s, off in zip(slices, range(-before, after + 1)):
-        # forward used roll(x, shift=-off); vjp rolls by +off
-        contrib = jnp.roll(s, shift=off, axis=-3)
-        out = contrib if out is None else out + contrib
-    return out
+    )(*args)
+    dq = res[0]
+    dk = None
+    dv = None
+    for i, off in enumerate(offs):
+        # forward rolled inputs by -off; vjp rolls the grads back by +off
+        dk_o = res[1 + 2 * i] if off == 0 else jnp.roll(res[1 + 2 * i], off,
+                                                        axis=1)
+        dv_o = res[2 + 2 * i] if off == 0 else jnp.roll(res[2 + 2 * i], off,
+                                                        axis=1)
+        dk = dk_o if dk is None else dk + dk_o
+        dv = dv_o if dv is None else dv + dv_o
+    return dq, dk, dv
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
@@ -278,11 +293,6 @@ def _attend_with_vjp(q_c, k_c, v_c, pos_c, val_c, causal, before, after,
                      mask_value, self_mask_value, interpret):
     return _forward(q_c, k_c, v_c, pos_c, val_c, causal, before, after,
                     mask_value, self_mask_value, interpret)
-
-
-def _rows(x, n):
-    b, h, nc = x.shape[:3]
-    return x.reshape((n,) + x.shape[2:])
 
 
 def _forward(q_c, k_c, v_c, pos_c, val_c, causal, before, after,
@@ -314,7 +324,7 @@ def _bwd_rule(causal, before, after, mask_value, self_mask_value, interpret,
     b, h, nc, c, d = q_c.shape
     n = b * h
     pos = pos_c.reshape(n, nc, c).astype(jnp.int32)
-    dq, dk_adj, dv_adj = _attend_bwd_pallas_raw(
+    dq, dk, dv = _attend_bwd_pallas_raw(
         q_c.reshape(n, nc, c, d),
         k_c.reshape(n, nc, c, d),
         v_c.reshape(n, nc, c, d),
@@ -323,11 +333,9 @@ def _bwd_rule(causal, before, after, mask_value, self_mask_value, interpret,
         dout.reshape(n, nc, c, d),
         dlse.reshape(n, nc, c).astype(jnp.float32),
         causal, before, after, mask_value, self_mask_value, interpret)
-    kc = (1 + before + after) * c
-    dq = dq.reshape(b, h, nc, c, d)
-    dk = _unlook_adjacent(dk_adj.reshape(b, h, nc, kc, d), before, after, c)
-    dv = _unlook_adjacent(dv_adj.reshape(b, h, nc, kc, d), before, after, c)
-    return dq, dk, dv, None, None
+    shape = (b, h, nc, c, d)
+    return (dq.reshape(shape), dk.reshape(shape), dv.reshape(shape),
+            None, None)
 
 
 _attend_with_vjp.defvjp(_fwd_rule, _bwd_rule)
@@ -339,10 +347,10 @@ def lsh_attend_chunks_pallas(q_c, k_c, v_c, pos_c, val_c, causal,
                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in replacement for rtts.attention.lsh.lsh_attend_chunks.
 
-    Falls back to the jnp path when no chunk blocking fits (chunk count
-    not divisible by a block >= the neighbor window radius)."""
+    Falls back to the jnp path when the chunk count doesn't tile into
+    blocks of _CB (= 8, the tile-legal minimum for the position blocks)."""
     b, h, nc, c, d = q_c.shape
-    if _pick_cb(nc, before, after) == 0:
+    if nc % _CB != 0:
         return _ref_attend(q_c, k_c, v_c, pos_c, val_c, causal, before,
                            after, mask_value, self_mask_value)
     return _attend_with_vjp(q_c, k_c, v_c, pos_c, val_c, bool(causal),

@@ -221,6 +221,19 @@ def _run_eval(cfg, model_cfg, eval_step, params, val_ds, mesh, work,
                              str(art / f"mel_step{step}.png"),
                              title=f"predicted (step {step})",
                              target=batch_example["mel"][0][:t_len])
+            # alignment diagnostic: head-averaged decoder cross-attention
+            from rtts.data.visualize import plot_attention
+            from rtts.infer.diagnostics import alignment_map
+
+            align = np.asarray(alignment_map(
+                params, model_cfg, jnp.asarray(batch_example["tokens"]),
+                jnp.asarray(batch_example["token_mask"]),
+                jnp.asarray(batch_example["mel"]),
+                jnp.asarray(batch_example["mel_mask"])))
+            n_tok = int(batch_example["token_mask"][0].sum())
+            plot_attention(align[0][:, :n_tok],
+                           str(art / f"align_step{step}.png"),
+                           title=f"cross-attention (step {step})")
             from rtts.audio.griffin import mel_to_audio
             from rtts.audio.wav import write_wav
 
