@@ -121,7 +121,7 @@ def train_vocoder_cmd(cfg: Config, workdir, max_steps):
 @click.option("--out", "out_dir", default="synth_out")
 @click.option("--max-frames", default=1024)
 @click.option("--seed", default=0)
-@click.option("--mode", default="kv_full",
+@click.option("--mode", default="auto",
               type=click.Choice(["kv_full", "kv_lsh", "kv_lsh_chunk",
                                  "auto"]),
               help="AR decode cache strategy")

@@ -23,9 +23,12 @@ from rtts.text import encode_batch
 
 class Synthesizer:
     def __init__(self, cfg: Config, tts_params, vocoder_params=None,
-                 max_frames: int = 1024, mode: str = "kv_full"):
-        """``mode`` selects the AR decode cache (see decode_greedy):
-        kv_full (default serving), kv_lsh, kv_lsh_chunk, or auto."""
+                 max_frames: int = 1024, mode: str = "auto"):
+        """``mode`` selects the AR decode cache (see decode_greedy).
+        Default "auto" = kv_lsh_chunk for LSH decoders, else kv_full —
+        on trained checkpoints kv_lsh_chunk is the closest cached mode to
+        the reference-faithful recompute decode AND the fastest at long
+        form (measured, PARITY.md "Serving parity")."""
         self.cfg = cfg
         self.tts_params = tts_params
         self.vocoder_params = vocoder_params
@@ -90,6 +93,6 @@ class Synthesizer:
 
 def synthesize(cfg: Config, tts_params, texts: Sequence[str],
                vocoder_params=None, max_frames: int = 1024, seed: int = 0,
-               mode: str = "kv_full"):
+               mode: str = "auto"):
     return Synthesizer(cfg, tts_params, vocoder_params, max_frames,
                        mode=mode)(texts, seed)
