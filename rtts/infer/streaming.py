@@ -56,12 +56,18 @@ class StreamingSynthesizer:
 
     def __init__(self, cfg: Config, tts_params, vocoder_params=None,
                  max_frames: int = 1024, mode: str = "kv_full"):
+        """``mode``: AR decode cache — kv_full (default; the streaming
+        exactness tests pin this path), kv_lsh, kv_lsh_chunk, or auto
+        (kv_lsh_chunk when the decoder self-attention kind is lsh)."""
         self.cfg = cfg
         self.tts_params = tts_params
         self.vocoder_params = vocoder_params
         self.max_frames = max_frames
-        self.mode = mode
         mcfg = cfg.model
+        if mode == "auto":
+            mode = ("kv_lsh_chunk" if mcfg.decoder.attention.kind == "lsh"
+                    else "kv_full")
+        self.mode = mode
         if max_frames % mcfg.reduction_factor != 0:
             raise ValueError("max_frames must be a multiple of reduction_factor")
 
@@ -81,8 +87,13 @@ class StreamingSynthesizer:
     def _segment_impl(self, params, state, mem_k, mem_v, memory_mask, rng,
                       n_groups):
         cfg = self.cfg.model
+        rotations, nb = (None, 0)
+        if self.mode in ("kv_lsh", "kv_lsh_chunk"):
+            rotations, nb = _decode_rotations(
+                cfg, jax.random.fold_in(rng, 999), self.max_frames)
         step = _make_step_fn(params, cfg, mem_k, mem_v, memory_mask, rng,
-                             cfg.stop_threshold)
+                             cfg.stop_threshold, rotations=rotations,
+                             num_buckets=nb)
         target = state.t + n_groups
         total = self.max_frames // cfg.reduction_factor
 
@@ -122,7 +133,19 @@ class StreamingSynthesizer:
         cdt = _dtype(cfg.compute_dtype)
         mem_k, mem_v = _init_mem_kv(params, cfg, memory.astype(cdt), cdt)
         rng = jax.random.PRNGKey(seed)
-        state = _init_state(params, cfg, memory.shape[0], self.max_frames)
+        a = cfg.decoder.attention
+        ring_cap = a.chunk_length * (1 + a.num_chunks_before
+                                     + a.num_chunks_after)
+        nb = 0
+        if self.mode == "kv_lsh_chunk":
+            nb = _decode_rotations(cfg, jax.random.fold_in(rng, 999),
+                                   self.max_frames)[1]
+        state = _init_state(
+            params, cfg, memory.shape[0], self.max_frames,
+            lsh_cache=(self.mode == "kv_lsh"),
+            ring_buckets=(nb if self.mode == "kv_lsh_chunk" else 0),
+            ring_capacity=min(ring_cap,
+                              self.max_frames // cfg.reduction_factor))
 
         # vocoder context bookkeeping
         pn_ctx = _postnet_context(cfg)

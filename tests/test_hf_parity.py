@@ -170,3 +170,39 @@ def test_full_fallback_matches_hf_short_seq():
     ours = shared_qk_self_attention(params, jnp.asarray(x.numpy()),
                                     mask=None, causal=True, num_heads=HEADS)
     np.testing.assert_allclose(np.asarray(ours), hf_out, atol=2e-4, rtol=1e-3)
+
+
+def test_axial_posenc_matches_hf():
+    """Axial positional embeddings: inject HF's factor weights into our
+    params; at L == d1*d2 (HF's training requirement) the flattened
+    embeddings must match exactly (same broadcast + concat + row-major
+    reshape semantics)."""
+    import torch
+    from transformers.models.reformer.modeling_reformer import (
+        AxialPositionEmbeddings,
+    )
+    from transformers import ReformerConfig
+
+    from rtts.nn.posenc import axial_posenc, axial_posenc_init
+
+    d1, d2, f1, f2 = 4, 8, 6, 10
+    hf_cfg = ReformerConfig(
+        axial_pos_shape=[d1, d2], axial_pos_embds_dim=[f1, f2],
+        hidden_size=f1 + f2, hidden_dropout_prob=0.0,
+        attn_layers=["local"], local_attn_chunk_length=8)
+    hf = AxialPositionEmbeddings(hf_cfg).eval()
+    with torch.no_grad():
+        for w in hf.weights:
+            w.normal_(0, 0.5)
+    L = d1 * d2
+    pos_ids = torch.arange(L)[None]
+    hf_out = hf(pos_ids).detach().numpy()[0]          # (L, f1+f2)
+
+    params = axial_posenc_init(jax.random.PRNGKey(0), (d1, d2), (f1, f2))
+    params = {
+        "ax1": jnp.asarray(hf.weights[0].detach().numpy()),  # (d1, 1, f1)
+        "ax2": jnp.asarray(hf.weights[1].detach().numpy()),  # (1, d2, f2)
+    }
+    x = jnp.zeros((1, L, f1 + f2))
+    ours = np.asarray(axial_posenc(params, x))[0]
+    np.testing.assert_allclose(ours, hf_out, atol=1e-6)

@@ -102,3 +102,34 @@ def test_stream_chunk_shapes():
     assert sum(sizes) % cfg.vocoder.hop_length == 0
     assert all(s > 0 for s in sizes)
     assert hasattr(ss, "last_lengths")
+
+
+def test_streamed_mel_lsh_chunk_mode_matches_batch():
+    """Streaming with mode='auto' on an LSH decoder routes through the
+    O(chunk) ring cache and must reproduce batch decode_greedy
+    (kv_lsh_chunk) on the emitted region at f32."""
+    from tests.test_model_lsh import lsh_cfg
+
+    model_cfg = lsh_cfg(reversible=False)
+    cfg = from_dict(Config, {
+        "model": to_dict(model_cfg),
+        "dataset": {"audio": {"n_mels": model_cfg.n_mels}},
+    })
+    params = M.init(jax.random.PRNGKey(0), model_cfg)
+    texts = ["hello world"]
+    ss = StreamingSynthesizer(cfg, params, None, max_frames=32, mode="auto")
+    assert ss.mode == "kv_lsh_chunk"
+    smel = np.concatenate(list(ss.stream(texts, chunk_frames=8)), axis=1)
+
+    from rtts.text import encode_batch
+
+    tokens, tmask = encode_batch(
+        texts, pad_to_multiple=cfg.dataset.text.pad_to_multiple)
+    memory = M.encode(params, model_cfg, jnp.asarray(tokens),
+                      jnp.asarray(tmask), deterministic=True)
+    bmel, blen, _ = decode_greedy(params, model_cfg, memory,
+                                  jnp.asarray(tmask), max_frames=32,
+                                  mode="kv_lsh_chunk")
+    T = min(smel.shape[1], int(blen[0]))
+    np.testing.assert_allclose(smel[0, :T], np.asarray(bmel)[0, :T],
+                               atol=1e-5, rtol=1e-5)
