@@ -153,8 +153,9 @@ def _decode_flops(cfg: Config, params, batch: int, token_len: int,
     memory = jnp.zeros((batch, token_len, mcfg.d_model), cdt)
     mem_k, mem_v = _init_mem_kv(params, mcfg, memory, cdt)
     if mode == "auto":
-        mode = ("kv_lsh_chunk" if mcfg.decoder.attention.kind == "lsh"
-                else "kv_full")
+        from rtts.infer.decode import _auto_mode
+
+        mode = _auto_mode(mcfg, max_frames)
     rotations, nb = (None, 0)
     if mode in ("kv_lsh", "kv_lsh_chunk"):
         rotations, nb = _decode_rotations(mcfg, jax.random.PRNGKey(9),
@@ -225,8 +226,12 @@ def bench_decode(cfg: Optional[Config] = None, batch: int = 8,
 
 def bench_e2e(cfg: Optional[Config] = None, batch: int = 8,
               token_len: int = 256, max_frames: int = 512,
-              repeats: int = 3, use_vocoder: bool = True) -> Dict[str, Any]:
-    """text->wav RTF: wall time / audio duration produced (per chip)."""
+              repeats: int = 3, use_vocoder: bool = True,
+              mode: str = "auto") -> Dict[str, Any]:
+    """text->wav RTF: wall time / audio duration produced (per chip).
+
+    mode="auto" mirrors the Synthesizer serving default (kv_lsh_chunk for
+    LSH decoders) so the headline measures the shipped configuration."""
     from rtts.infer.decode import decode_greedy
     from rtts.models import reformer_tts as M
     from rtts.models import squeezewave as SW
@@ -244,7 +249,7 @@ def bench_e2e(cfg: Optional[Config] = None, batch: int = 8,
         memory = M.encode(p, cfg.model, tok, msk, deterministic=True)
         mel, lengths, _ = decode_greedy(p, cfg.model, memory, msk,
                                         max_frames=max_frames,
-                                        stop_threshold=2.0)
+                                        stop_threshold=2.0, mode=mode)
         if vp is not None:
             audio = SW.infer(vp, cfg.vocoder, mel, rng=jax.random.PRNGKey(0),
                              folded=True)
@@ -261,7 +266,7 @@ def bench_e2e(cfg: Optional[Config] = None, batch: int = 8,
     dt = min(times)
     audio_seconds = batch * max_frames / _frame_rate(cfg)
     rtf = dt / audio_seconds
-    flops = _decode_flops(cfg, params, batch, token_len, max_frames)
+    flops = _decode_flops(cfg, params, batch, token_len, max_frames, mode)
     if flops is not None and use_vocoder:
         mel0 = jnp.zeros((batch, max_frames, cfg.vocoder.n_mels), jnp.float32)
         f_voc = _compiled_flops(
@@ -275,6 +280,7 @@ def bench_e2e(cfg: Optional[Config] = None, batch: int = 8,
         "audio_seconds": audio_seconds,
         "batch": batch,
         "max_frames": max_frames,
+        "mode": mode,
         "vocoder": bool(use_vocoder),
         "flops": flops,
         "mfu": _mfu(flops, dt),

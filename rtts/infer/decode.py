@@ -436,6 +436,27 @@ def _decode_rotations(cfg: ReformerTTSConfig, rng, max_frames: int):
     return rots, nb
 
 
+def _auto_mode(cfg: ReformerTTSConfig, max_frames: int) -> str:
+    """Pick the serving cache by measured cost model.
+
+    kv_lsh_chunk's per-step attention touches nh*C keys plus per-layer
+    gather/scatter overhead; kv_full touches the whole n_groups prefix in
+    one dense einsum.  Measured on v5e (BENCH.md): at 512 frames the ring
+    cache is ~8x SLOWER (nh*C == prefix, pure overhead), at 8k it is 1.78x
+    faster — so choose it only when the prefix is much larger than the
+    ring working set."""
+    a = cfg.decoder.attention
+    if a.kind != "lsh":
+        return "kv_full"
+    n_groups = max_frames // cfg.reduction_factor
+    ring_cap = min(
+        a.chunk_length * (1 + a.num_chunks_before + a.num_chunks_after),
+        n_groups)
+    # factor 2: gathers cost ~1 dense-key-equivalent each on TPU
+    return ("kv_lsh_chunk" if n_groups > 2 * a.num_hashes * ring_cap
+            else "kv_full")
+
+
 def decode_greedy(
     params,
     cfg: ReformerTTSConfig,
@@ -456,8 +477,8 @@ def decode_greedy(
                            keys per round (SURVEY.md §3.2 incremental
                            cache; equals kv_lsh whenever no bucket
                            overflows the ring)
-          "auto"         — kv_lsh_chunk when the decoder self-attention
-                           kind is lsh, else kv_full
+          "auto"         — kv_lsh_chunk for LSH decoders WHEN it saves
+                           work (see _auto_mode), else kv_full
     Jit-compatible: call under jax.jit with static max_frames."""
     cdt = _dtype(cfg.compute_dtype)
     if rng is None:
@@ -465,8 +486,7 @@ def decode_greedy(
     if stop_threshold is None:
         stop_threshold = cfg.stop_threshold
     if mode == "auto":
-        mode = ("kv_lsh_chunk" if cfg.decoder.attention.kind == "lsh"
-                else "kv_full")
+        mode = _auto_mode(cfg, max_frames)
     batch = memory.shape[0]
     mem_k, mem_v = _init_mem_kv(params, cfg, memory.astype(cdt), cdt)
     rotations, nb = (None, 0)

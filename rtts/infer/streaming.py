@@ -65,8 +65,9 @@ class StreamingSynthesizer:
         self.max_frames = max_frames
         mcfg = cfg.model
         if mode == "auto":
-            mode = ("kv_lsh_chunk" if mcfg.decoder.attention.kind == "lsh"
-                    else "kv_full")
+            from rtts.infer.decode import _auto_mode
+
+            mode = _auto_mode(mcfg, max_frames)
         self.mode = mode
         if max_frames % mcfg.reduction_factor != 0:
             raise ValueError("max_frames must be a multiple of reduction_factor")

@@ -25,10 +25,10 @@ class Synthesizer:
     def __init__(self, cfg: Config, tts_params, vocoder_params=None,
                  max_frames: int = 1024, mode: str = "auto"):
         """``mode`` selects the AR decode cache (see decode_greedy).
-        Default "auto" = kv_lsh_chunk for LSH decoders, else kv_full —
-        on trained checkpoints kv_lsh_chunk is the closest cached mode to
-        the reference-faithful recompute decode AND the fastest at long
-        form (measured, PARITY.md "Serving parity")."""
+        Default "auto" applies a measured cost model: kv_lsh_chunk for
+        LSH decoders when the prefix dwarfs the ring working set (1.78x
+        at 8k frames; best cached fidelity on trained checkpoints), else
+        kv_full (PARITY.md "Serving parity", BENCH.md)."""
         self.cfg = cfg
         self.tts_params = tts_params
         self.vocoder_params = vocoder_params

@@ -94,3 +94,10 @@ def test_raw_text_phoneme_e2e_wav():
     wavs = Synthesizer(cfg, params, max_frames=16)(["hello world"])
     w = np.asarray(wavs[0])
     assert w.size > 0 and np.isfinite(w).all()
+
+
+def test_numbers_expand_before_g2p():
+    out = text_to_phonemes("2 cats")
+    toks = out.split()
+    # "two" is in the lexicon: T UW1
+    assert toks[:2] == ["T", "UW1"], out

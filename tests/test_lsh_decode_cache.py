@@ -158,6 +158,22 @@ def test_decode_greedy_kv_lsh_chunk_runs_and_matches_kv_lsh():
                                atol=1e-4, rtol=1e-4)
 
 
+def test_auto_mode_is_cost_aware():
+    """auto = kv_lsh_chunk only when the prefix dwarfs the ring working
+    set (measured: the ring cache is slower at short max_frames)."""
+    from rtts.infer.decode import _auto_mode
+
+    cfg = lsh_cfg(reversible=False)   # chunk 16, nh 2, before 1 -> cap 32
+    assert _auto_mode(cfg, 32) == "kv_full"
+    assert _auto_mode(cfg, 512) == "kv_lsh_chunk"
+    import dataclasses
+    full_dec = dataclasses.replace(
+        cfg, decoder=dataclasses.replace(
+            cfg.decoder, attention=dataclasses.replace(
+                cfg.decoder.attention, kind="full")))
+    assert _auto_mode(full_dec, 8192) == "kv_full"
+
+
 def test_decode_greedy_kv_lsh_runs():
     cfg = lsh_cfg(reversible=False)
     params = M.init(jax.random.PRNGKey(0), cfg)
@@ -168,7 +184,7 @@ def test_decode_greedy_kv_lsh_runs():
     @jax.jit
     def run(p, m, mm):
         return decode_greedy(p, cfg, m, mm, max_frames=32,
-                             stop_threshold=2.0, mode="auto")
+                             stop_threshold=2.0, mode="kv_lsh")
 
     mel, lengths, _ = run(params, memory, tmask)
     assert mel.shape == (2, 32, 20)

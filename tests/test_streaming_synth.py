@@ -105,8 +105,8 @@ def test_stream_chunk_shapes():
 
 
 def test_streamed_mel_lsh_chunk_mode_matches_batch():
-    """Streaming with mode='auto' on an LSH decoder routes through the
-    O(chunk) ring cache and must reproduce batch decode_greedy
+    """Streaming with mode='kv_lsh_chunk' on an LSH decoder routes through
+    the O(chunk) ring cache and must reproduce batch decode_greedy
     (kv_lsh_chunk) on the emitted region at f32."""
     from tests.test_model_lsh import lsh_cfg
 
@@ -117,8 +117,8 @@ def test_streamed_mel_lsh_chunk_mode_matches_batch():
     })
     params = M.init(jax.random.PRNGKey(0), model_cfg)
     texts = ["hello world"]
-    ss = StreamingSynthesizer(cfg, params, None, max_frames=32, mode="auto")
-    assert ss.mode == "kv_lsh_chunk"
+    ss = StreamingSynthesizer(cfg, params, None, max_frames=32,
+                              mode="kv_lsh_chunk")
     smel = np.concatenate(list(ss.stream(texts, chunk_frames=8)), axis=1)
 
     from rtts.text import encode_batch
