@@ -352,11 +352,20 @@ def _make_step_fn(params, cfg: ReformerTTSConfig, mem_k, mem_v, memory_mask,
         frames = group.reshape(-1, r, n_mels)            # (B, r, n_mels)
         stop_logit = dense(params["stop_head"], y, cdt)[..., 0].astype(jnp.float32)
 
+        # ``live`` gates the observable writes so that trailing steps inside
+        # an unrolled while_loop trip (executed after every row is done,
+        # where unroll=1 would already have exited) leave the buffers
+        # bit-identical to the unroll=1 run.  Teacher forcing always writes.
+        live = (~jnp.all(state.done)) | (teacher_mel is not None)
+        cur_mel = jax.lax.dynamic_slice_in_dim(state.mel, t * r, r, axis=1)
         mel = jax.lax.dynamic_update_slice_in_dim(
-            state.mel, frames, t * r, axis=1)
+            state.mel, jnp.where(live, frames, cur_mel), t * r, axis=1)
+        cur_stop = jax.lax.dynamic_slice_in_dim(
+            state.stop_logits, t * r, r, axis=1)
+        stop_rep = jnp.repeat(stop_logit[:, None], r, axis=1)
         stop_logits = jax.lax.dynamic_update_slice_in_dim(
-            state.stop_logits,
-            jnp.repeat(stop_logit[:, None], r, axis=1), t * r, axis=1)
+            state.stop_logits, jnp.where(live, stop_rep, cur_stop),
+            t * r, axis=1)
         newly_done = jax.nn.sigmoid(stop_logit) > stop_threshold
         done = state.done | newly_done
         lengths = jnp.where(state.done, state.lengths, (t + 1) * r)
@@ -466,6 +475,7 @@ def decode_greedy(
     rng: Optional[jax.Array] = None,
     stop_threshold: Optional[float] = None,
     mode: str = "kv_full",
+    unroll: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Greedy AR decode -> (mel_post (B,T_max,n_mels), lengths (B,), stop_logits).
 
@@ -479,6 +489,24 @@ def decode_greedy(
                            overflows the ring)
           "auto"         — kv_lsh_chunk for LSH decoders WHEN it saves
                            work (see _auto_mode), else kv_full
+
+    unroll: decoder steps executed per while_loop trip.  The tunneled TPU
+    backend charges a fixed ~per-iteration overhead inside jitted loop
+    chains (CLAUDE.md); running k sequential steps per trip amortizes it
+    k-fold without changing any step's numerics.  Snapped down to the
+    largest divisor of the group count so buffers never need padding
+    (padded caches would change f32 softmax reduction sizes, and AR
+    feedback amplifies even 1-ulp differences); dead trailing steps in a
+    trip (after every row stops, where unroll=1 would have exited) are
+    write-gated.  Outputs are therefore identical up to XLA fusion
+    rounding — mel/lengths observed bit-equal, stop logits within 1 ulp
+    (tested).  Early-stop granularity coarsens to ``unroll`` steps.
+    MEASURED on the tunneled v5e (BENCH.md): a LOSS (unroll 2 → +33%
+    wall, 4 → +88%) — multiple dynamic_update_slice writes to the same
+    carried cache per loop body defeat XLA's in-place buffer aliasing,
+    so each extra step per trip copies the KV buffers.  Default 1; the
+    knob remains for directly-attached TPU deployments.
+
     Jit-compatible: call under jax.jit with static max_frames."""
     cdt = _dtype(cfg.compute_dtype)
     if rng is None:
@@ -496,19 +524,26 @@ def decode_greedy(
     step = _make_step_fn(params, cfg, mem_k, mem_v, memory_mask, rng,
                          stop_threshold, rotations=rotations, num_buckets=nb)
     a = cfg.decoder.attention
+    n_groups = max_frames // cfg.reduction_factor
+    unroll = max(1, min(int(unroll), n_groups))
+    while n_groups % unroll:       # largest divisor <= requested
+        unroll -= 1
     ring_cap = a.chunk_length * (1 + a.num_chunks_before + a.num_chunks_after)
     state = _init_state(
         params, cfg, batch, max_frames,
         lsh_cache=(mode == "kv_lsh"),
         ring_buckets=(nb if mode == "kv_lsh_chunk" else 0),
-        ring_capacity=min(ring_cap, max_frames // cfg.reduction_factor))
-
-    n_groups = max_frames // cfg.reduction_factor
+        ring_capacity=min(ring_cap, n_groups))
 
     def cond(s: DecodeState):
         return (s.t < n_groups) & ~jnp.all(s.done)
 
-    state = jax.lax.while_loop(cond, step, state)
+    def body(s: DecodeState) -> DecodeState:
+        for _ in range(unroll):
+            s = step(s)
+        return s
+
+    state = jax.lax.while_loop(cond, body, state)
     # postnet over the full buffer (masked by lengths downstream)
     residual = postnet_apply(params["postnet"], cfg, state.mel.astype(cdt),
                              None, True, cdt).astype(jnp.float32)

@@ -36,6 +36,43 @@ def test_recompute_matches_incremental_full_attention():
                                atol=5e-4, rtol=1e-3)
 
 
+def test_unroll_is_output_identical_kv_full():
+    """Loop unrolling (k steps per while_loop trip) must be BIT-identical —
+    including a non-divisor request (snapped to a divisor) and natural
+    early stopping (dead trailing steps in a trip must not write)."""
+    cfg = tiny_cfg()
+    params, memory, tmask = _memory(cfg)
+    for thr in (2.0, 0.3):  # forced full-length + natural stops
+        mel_1, len_1, stop_1 = decode_greedy(params, cfg, memory, tmask,
+                                             max_frames=16,
+                                             stop_threshold=thr)
+        for unroll in (3, 4, 16, 64):
+            mel_k, len_k, stop_k = decode_greedy(
+                params, cfg, memory, tmask, max_frames=16,
+                stop_threshold=thr, unroll=unroll)
+            np.testing.assert_array_equal(np.asarray(len_1),
+                                          np.asarray(len_k))
+            np.testing.assert_array_equal(np.asarray(mel_1),
+                                          np.asarray(mel_k))
+            # stop logits round 1 ulp apart under different XLA fusions
+            np.testing.assert_allclose(np.asarray(stop_1),
+                                       np.asarray(stop_k), atol=1e-6)
+
+
+def test_unroll_is_output_identical_lsh_chunk():
+    cfg = lsh_cfg(reversible=True)
+    params, memory, tmask = _memory(cfg, B=2, L=64)
+    run = lambda u: jax.jit(
+        lambda p, m, mm: decode_greedy(p, cfg, m, mm, max_frames=32,
+                                       stop_threshold=2.0,
+                                       mode="kv_lsh_chunk", unroll=u)
+    )(params, memory, tmask)
+    mel_1, len_1, _ = run(1)
+    mel_5, len_5, _ = run(5)
+    np.testing.assert_array_equal(np.asarray(len_1), np.asarray(len_5))
+    np.testing.assert_array_equal(np.asarray(mel_1), np.asarray(mel_5))
+
+
 def test_recompute_decodes_lsh_model():
     cfg = lsh_cfg(reversible=True)
     params, memory, tmask = _memory(cfg, B=2, L=64)
