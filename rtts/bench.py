@@ -185,7 +185,7 @@ def _decode_flops(cfg: Config, params, batch: int, token_len: int,
 def bench_decode(cfg: Optional[Config] = None, batch: int = 8,
                  token_len: int = 256, max_frames: int = 512,
                  repeats: int = 3, mode: str = "kv_full",
-                 unroll: int = 1) -> Dict[str, Any]:
+                 unroll: int = 1, staged="auto") -> Dict[str, Any]:
     """Batched greedy AR decode throughput: mel frames/sec/chip."""
     from rtts.infer.decode import decode_greedy
     from rtts.models import reformer_tts as M
@@ -202,7 +202,7 @@ def bench_decode(cfg: Optional[Config] = None, batch: int = 8,
         # stop_threshold > 1: force a full-length decode for stable timing
         return decode_greedy(p, cfg.model, memory, msk,
                              max_frames=max_frames, stop_threshold=2.0,
-                             mode=mode, unroll=unroll)
+                             mode=mode, unroll=unroll, staged=staged)
 
     mel, lengths, _ = _sync(run(params, tokens, tmask))  # warmup/compile
     times = []
@@ -228,7 +228,8 @@ def bench_decode(cfg: Optional[Config] = None, batch: int = 8,
 def bench_e2e(cfg: Optional[Config] = None, batch: int = 8,
               token_len: int = 256, max_frames: int = 512,
               repeats: int = 3, use_vocoder: bool = True,
-              mode: str = "auto", unroll: int = 1) -> Dict[str, Any]:
+              mode: str = "auto", unroll: int = 1,
+              staged="auto") -> Dict[str, Any]:
     """text->wav RTF: wall time / audio duration produced (per chip).
 
     mode="auto" mirrors the Synthesizer serving default (kv_lsh_chunk for
@@ -251,7 +252,7 @@ def bench_e2e(cfg: Optional[Config] = None, batch: int = 8,
         mel, lengths, _ = decode_greedy(p, cfg.model, memory, msk,
                                         max_frames=max_frames,
                                         stop_threshold=2.0, mode=mode,
-                                        unroll=unroll)
+                                        unroll=unroll, staged=staged)
         if vp is not None:
             audio = SW.infer(vp, cfg.vocoder, mel, rng=jax.random.PRNGKey(0),
                              folded=True)

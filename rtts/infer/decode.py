@@ -424,6 +424,49 @@ def _init_state(params, cfg: ReformerTTSConfig, batch: int, max_frames: int,
     )
 
 
+def _grow_state(state: DecodeState, cfg: ReformerTTSConfig,
+                new_groups: int) -> DecodeState:
+    """Pad the time axes of the decode buffers out to ``new_groups``.
+
+    Used by staged decoding: the KV caches are the dominant per-step HBM
+    read (BENCH.md cost model — each step re-reads the whole cache), so
+    early steps run against small buffers that are grown geometrically.
+    Pad values are the same as _init_state's (zeros; -1 for kv_lsh bucket
+    ids so padding never matches a real bucket); ring buffers in the
+    kv_lsh_chunk mode are position-indexed, not time-sized, and carry
+    over unchanged."""
+    r = cfg.reduction_factor
+
+    def pad_to(x, axis, new, fill=0):
+        n = new - x.shape[axis]
+        if n <= 0:
+            return x
+        widths = [(0, 0)] * x.ndim
+        widths[axis] = (0, n)
+        return jnp.pad(x, widths, constant_values=fill)
+
+    k = tuple(pad_to(c, 1, new_groups) for c in state.k_caches)
+    v = tuple(pad_to(c, 1, new_groups) for c in state.v_caches)
+    b = tuple(bc if isinstance(bc, (dict, tuple)) else
+              pad_to(bc, 3, new_groups, -1)
+              for bc in state.b_caches)
+    return state._replace(
+        mel=pad_to(state.mel, 1, new_groups * r),
+        stop_logits=pad_to(state.stop_logits, 1, new_groups * r),
+        k_caches=k, v_caches=v, b_caches=b)
+
+
+def _stage_sizes(n_groups: int, stage_min: int) -> Tuple[int, ...]:
+    """Geometric (x2) buffer schedule ending at n_groups; total KV read
+    drops to ~2/3 of the fixed-size loop's."""
+    sizes = [n_groups]
+    s = n_groups
+    while s % 2 == 0 and s // 2 >= stage_min:
+        s //= 2
+        sizes.append(s)
+    return tuple(reversed(sizes))
+
+
 def _decode_rotations(cfg: ReformerTTSConfig, rng, max_frames: int):
     """Per-self-layer hash rotations for LSH-cached decoding."""
     from rtts.attention.lsh import auto_num_buckets
@@ -476,6 +519,8 @@ def decode_greedy(
     stop_threshold: Optional[float] = None,
     mode: str = "kv_full",
     unroll: int = 1,
+    staged="auto",
+    stage_min: int = 128,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Greedy AR decode -> (mel_post (B,T_max,n_mels), lengths (B,), stop_logits).
 
@@ -507,6 +552,17 @@ def decode_greedy(
     so each extra step per trip copies the KV buffers.  Default 1; the
     knob remains for directly-attached TPU deployments.
 
+    staged: run the loop in log-spaced stages with geometrically growing
+    KV/mel buffers (x2 from ``stage_min`` groups).  Every step re-reads
+    its whole cache — the dominant HBM traffic (BENCH.md cost model) —
+    so capping early steps' buffers cuts total cache reads to ~2/3.
+    Static shapes per stage (one while_loop each); numerics differ from
+    the fixed-size loop only by f32 softmax reduction size (same class
+    as an XLA refusion), early stop is preserved.  Measured (BENCH.md):
+    +50% frames/s at 8x512x1024, +10% at 8x512 — "auto" (default)
+    enables it for the full-prefix modes when the decode is long enough
+    to pay back the stage-transition copies.
+
     Jit-compatible: call under jax.jit with static max_frames."""
     cdt = _dtype(cfg.compute_dtype)
     if rng is None:
@@ -525,25 +581,39 @@ def decode_greedy(
                          stop_threshold, rotations=rotations, num_buckets=nb)
     a = cfg.decoder.attention
     n_groups = max_frames // cfg.reduction_factor
-    unroll = max(1, min(int(unroll), n_groups))
-    while n_groups % unroll:       # largest divisor <= requested
+    if staged == "auto":
+        # evidence threshold (BENCH.md): stage-transition copies pay for
+        # themselves once the full-prefix cache reads dominate — clearly
+        # past ~1024 groups; kv_lsh_chunk's per-step gather is O(C), so
+        # staging only trims its linear mel/stop/k/v writes (still wins
+        # at 8k, measured)
+        staged = n_groups >= 1024
+    sizes = _stage_sizes(n_groups, stage_min) if staged else (n_groups,)
+    # snap unroll to a divisor of the first stage's step count (later
+    # stages are power-of-two multiples of it, so it divides those too)
+    unroll = max(1, min(int(unroll), sizes[0]))
+    while sizes[0] % unroll:       # largest divisor <= requested
         unroll -= 1
     ring_cap = a.chunk_length * (1 + a.num_chunks_before + a.num_chunks_after)
     state = _init_state(
-        params, cfg, batch, max_frames,
+        params, cfg, batch, sizes[0] * cfg.reduction_factor,
         lsh_cache=(mode == "kv_lsh"),
         ring_buckets=(nb if mode == "kv_lsh_chunk" else 0),
         ring_capacity=min(ring_cap, n_groups))
-
-    def cond(s: DecodeState):
-        return (s.t < n_groups) & ~jnp.all(s.done)
 
     def body(s: DecodeState) -> DecodeState:
         for _ in range(unroll):
             s = step(s)
         return s
 
-    state = jax.lax.while_loop(cond, body, state)
+    for size in sizes:
+        if size * cfg.reduction_factor > state.mel.shape[1]:
+            state = _grow_state(state, cfg, size)
+
+        def cond(s: DecodeState, _cap=size):
+            return (s.t < _cap) & ~jnp.all(s.done)
+
+        state = jax.lax.while_loop(cond, body, state)
     # postnet over the full buffer (masked by lengths downstream)
     residual = postnet_apply(params["postnet"], cfg, state.mel.astype(cdt),
                              None, True, cdt).astype(jnp.float32)

@@ -24,7 +24,7 @@ from rtts.text import encode_batch
 class Synthesizer:
     def __init__(self, cfg: Config, tts_params, vocoder_params=None,
                  max_frames: int = 1024, mode: str = "auto",
-                 unroll: int = 1):
+                 unroll: int = 1, staged="auto"):
         """``mode`` selects the AR decode cache (see decode_greedy).
         Default "auto" applies a measured cost model: kv_lsh_chunk for
         LSH decoders when the prefix dwarfs the ring working set (1.78x
@@ -34,25 +34,27 @@ class Synthesizer:
         decode_greedy).  Default 1: on the tunneled v5e it is a measured
         LOSS (BENCH.md — multiple in-place cache updates per loop body
         defeat XLA's buffer aliasing), left available for
-        directly-attached deployments."""
+        directly-attached deployments.  ``staged`` grows the KV buffers
+        geometrically over the decode ("auto": on for long decodes —
+        +50% frames/s at 1k frames, measured; see decode_greedy)."""
         self.cfg = cfg
         self.tts_params = tts_params
         self.vocoder_params = vocoder_params
         self.max_frames = max_frames
         self.mode = mode
         self._decode_jit = jax.jit(
-            functools.partial(self._decode, cfg.model, mode, unroll),
+            functools.partial(self._decode, cfg.model, mode, unroll, staged),
             static_argnames=("max_frames",),
         )
 
     @staticmethod
-    def _decode(model_cfg, mode, unroll, params, tokens, token_mask, rng,
-                max_frames):
+    def _decode(model_cfg, mode, unroll, staged, params, tokens, token_mask,
+                rng, max_frames):
         memory = tts_model.encode(params, model_cfg, tokens, token_mask,
                                   rng=None, deterministic=True)
         return decode_greedy(params, model_cfg, memory, token_mask,
                              max_frames=max_frames, rng=rng, mode=mode,
-                             unroll=unroll)
+                             unroll=unroll, staged=staged)
 
     def text_to_mel(self, texts: Sequence[str], seed: int = 0
                     ) -> Tuple[np.ndarray, np.ndarray]:

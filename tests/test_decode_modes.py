@@ -73,6 +73,39 @@ def test_unroll_is_output_identical_lsh_chunk():
     np.testing.assert_array_equal(np.asarray(mel_1), np.asarray(mel_5))
 
 
+def test_staged_matches_fixed_kv_full():
+    """Staged (geometrically grown) KV buffers must reproduce the
+    fixed-size loop: same lengths, mel within f32 reduction-size rounding
+    amplified by AR feedback (loose but diagnostic tolerance)."""
+    cfg = tiny_cfg()
+    params, memory, tmask = _memory(cfg)
+    for thr in (2.0, 0.3):
+        mel_f, len_f, _ = decode_greedy(params, cfg, memory, tmask,
+                                        max_frames=32, stop_threshold=thr)
+        mel_s, len_s, _ = decode_greedy(params, cfg, memory, tmask,
+                                        max_frames=32, stop_threshold=thr,
+                                        staged=True, stage_min=8)
+        np.testing.assert_array_equal(np.asarray(len_f), np.asarray(len_s))
+        np.testing.assert_allclose(np.asarray(mel_f), np.asarray(mel_s),
+                                   atol=5e-4, rtol=1e-3)
+
+
+def test_staged_matches_fixed_lsh_modes():
+    cfg = lsh_cfg(reversible=True)
+    params, memory, tmask = _memory(cfg, B=2, L=64)
+    for mode in ("kv_lsh", "kv_lsh_chunk"):
+        run = lambda st: jax.jit(
+            lambda p, m, mm: decode_greedy(p, cfg, m, mm, max_frames=32,
+                                           stop_threshold=2.0, mode=mode,
+                                           staged=st, stage_min=8)
+        )(params, memory, tmask)
+        mel_f, len_f, _ = run(False)
+        mel_s, len_s, _ = run(True)
+        np.testing.assert_array_equal(np.asarray(len_f), np.asarray(len_s))
+        np.testing.assert_allclose(np.asarray(mel_f), np.asarray(mel_s),
+                                   atol=5e-4, rtol=1e-3)
+
+
 def test_recompute_decodes_lsh_model():
     cfg = lsh_cfg(reversible=True)
     params, memory, tmask = _memory(cfg, B=2, L=64)
