@@ -182,6 +182,17 @@ def _decode_flops(cfg: Config, params, batch: int, token_len: int,
     return f_enc + n_groups * f_step + (f_pn or 0.0)
 
 
+def _serving_params(cfg: Config, params):
+    """Pre-cast matmul weights to the compute dtype OUTSIDE the jit, as
+    the serving surfaces (Synthesizer, StreamingSynthesizer) do — bf16
+    jit arguments halve per-step weight HBM reads (2x decode, BENCH.md)
+    and avoid the per-stage re-materialization XLA applies to in-graph
+    casts under staged decoding."""
+    from rtts.infer.decode import _dtype, _precast_weights
+
+    return _precast_weights(params, _dtype(cfg.model.compute_dtype))
+
+
 def bench_decode(cfg: Optional[Config] = None, batch: int = 8,
                  token_len: int = 256, max_frames: int = 512,
                  repeats: int = 3, mode: str = "kv_full",
@@ -191,7 +202,7 @@ def bench_decode(cfg: Optional[Config] = None, batch: int = 8,
     from rtts.models import reformer_tts as M
 
     cfg = cfg or base_bench_config()
-    params = _build(cfg)
+    params = _serving_params(cfg, _build(cfg))
     tokens = jax.random.randint(jax.random.PRNGKey(1), (batch, token_len),
                                 3, cfg.model.vocab_size)
     tmask = jnp.ones((batch, token_len), bool)
@@ -239,7 +250,7 @@ def bench_e2e(cfg: Optional[Config] = None, batch: int = 8,
     from rtts.models import squeezewave as SW
 
     cfg = cfg or base_bench_config()
-    params = _build(cfg)
+    params = _serving_params(cfg, _build(cfg))
     voc_params = SW.fold_weightnorm(SW.init(jax.random.PRNGKey(2), cfg.vocoder)) \
         if use_vocoder else None
     tokens = jax.random.randint(jax.random.PRNGKey(1), (batch, token_len),

@@ -41,6 +41,41 @@ from rtts.nn.layers import dense, layer_norm, prenet_mlp
 # ---------------------------------------------------------------------------
 
 
+def _precast_weights(params, cdt):
+    """Cast every >=2-D float32 leaf (matmul weights, embeddings, pos
+    tables) to the compute dtype ONCE, before the decode loop.
+
+    Bit-identical to the in-loop casts: ``dense`` and the step fn already
+    cast these leaves to ``cdt`` at every use, so hoisting the cast out of
+    the ``while_loop`` changes no step's numerics — but XLA does NOT hoist
+    it by itself (the loop-invariant bf16 copies would inflate live
+    memory, so it re-reads the f32 weights and converts every step).
+    Measured on v5e (BENCH.md): 2.05x decode at flagship b8x512.  1-D
+    leaves (LN scale/bias, biases) stay f32 for the f32 reductions.
+
+    The result rides through ``optimization_barrier``: without it XLA
+    re-materializes the converts inside each stage loop of staged
+    decoding (measured: 19.6k vs 17.0k frames/s at b8x512 staged).  The
+    barrier forces every cast to materialize once, up front."""
+    if cdt == jnp.float32:
+        return params
+
+    def c(x):
+        # duck-typed: leaves may be jax Arrays, tracers, or numpy arrays
+        # (checkpoint loads), all of which expose dtype/ndim
+        if getattr(x, "ndim", 0) >= 2 and getattr(x, "dtype", None) == jnp.float32:
+            return jnp.asarray(x, dtype=cdt)
+        return x
+
+    casted = jax.tree_util.tree_map(c, params)
+    try:
+        return jax.lax.optimization_barrier(casted)
+    except TypeError:
+        # non-array leaves (e.g. python scalars in exotic trees): skip the
+        # barrier rather than fail
+        return casted
+
+
 def _proj_heads(params_w, x, num_heads, cdt):
     """(B, D) -> (B, H, d)"""
     y = dense(params_w, x, cdt)
@@ -558,10 +593,9 @@ def decode_greedy(
     so capping early steps' buffers cuts total cache reads to ~2/3.
     Static shapes per stage (one while_loop each); numerics differ from
     the fixed-size loop only by f32 softmax reduction size (same class
-    as an XLA refusion), early stop is preserved.  Measured (BENCH.md):
-    +50% frames/s at 8x512x1024, +10% at 8x512 — "auto" (default)
-    enables it for the full-prefix modes when the decode is long enough
-    to pay back the stage-transition copies.
+    as an XLA refusion), early stop is preserved.  Measured with
+    pre-cast bf16 weights (BENCH.md): +15-44% frames/s at every shape
+    from 256 groups up — "auto" (default) enables it from 256 groups.
 
     Jit-compatible: call under jax.jit with static max_frames."""
     cdt = _dtype(cfg.compute_dtype)
@@ -572,6 +606,7 @@ def decode_greedy(
     if mode == "auto":
         mode = _auto_mode(cfg, max_frames)
     batch = memory.shape[0]
+    params = _precast_weights(params, cdt)
     mem_k, mem_v = _init_mem_kv(params, cfg, memory.astype(cdt), cdt)
     rotations, nb = (None, 0)
     if mode in ("kv_lsh", "kv_lsh_chunk"):
@@ -582,12 +617,12 @@ def decode_greedy(
     a = cfg.decoder.attention
     n_groups = max_frames // cfg.reduction_factor
     if staged == "auto":
-        # evidence threshold (BENCH.md): stage-transition copies pay for
-        # themselves once the full-prefix cache reads dominate — clearly
-        # past ~1024 groups; kv_lsh_chunk's per-step gather is O(C), so
-        # staging only trims its linear mel/stop/k/v writes (still wins
-        # at 8k, measured)
-        staged = n_groups >= 1024
+        # evidence threshold (BENCH.md staged sweep, pre-cast bf16
+        # weights): staging wins +15-44% at every measured shape from 256
+        # groups up (b8x256..b32x1024) except b32x512 (-1.8%, noise);
+        # kv_lsh_chunk's per-step gather is O(C), so staging only trims
+        # its linear mel/stop/k/v writes (still wins at 8k, measured)
+        staged = n_groups >= 256
     sizes = _stage_sizes(n_groups, stage_min) if staged else (n_groups,)
     # snap unroll to a divisor of the first stage's step count (later
     # stages are power-of-two multiples of it, so it divides those too)
@@ -694,6 +729,10 @@ def decode_teacher_check(
     rate=0 configs in the test)."""
     cdt = _dtype(cfg.compute_dtype)
     b, t_total, _ = teacher_input.shape
+    # pre-cast here too: the exact-equality test vs decode_train (which
+    # keeps its per-use casts) then doubles as the bit-exactness proof
+    # for _precast_weights
+    params = _precast_weights(params, cdt)
     mem_k, mem_v = _init_mem_kv(params, cfg, memory.astype(cdt), cdt)
     step = _make_step_fn(params, cfg, mem_k, mem_v, memory_mask,
                          jax.random.PRNGKey(0), 10.0,

@@ -36,6 +36,7 @@ from rtts.infer.decode import (
     _init_mem_kv,
     _init_state,
     _make_step_fn,
+    _precast_weights,
 )
 from rtts.models.reformer_tts import postnet_apply
 
@@ -129,9 +130,11 @@ class StreamingSynthesizer:
                                      pad_to_multiple=tcfg.pad_to_multiple,
                                      max_len=tcfg.max_len, level=tcfg.level)
         tokens, tmask = jnp.asarray(tokens), jnp.asarray(tmask)
-        params = self.tts_params
-        memory = self._encode(params, tokens, tmask)
         cdt = _dtype(cfg.compute_dtype)
+        # one-time bf16 weight cast, shared by every segment's decode loop
+        # (bit-identical to the per-step casts — see decode._precast_weights)
+        params = _precast_weights(self.tts_params, cdt)
+        memory = self._encode(params, tokens, tmask)
         mem_k, mem_v = _init_mem_kv(params, cfg, memory.astype(cdt), cdt)
         rng = jax.random.PRNGKey(seed)
         a = cfg.decoder.attention

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rtts.config import Config
-from rtts.infer.decode import decode_greedy
+from rtts.infer.decode import _dtype, _precast_weights, decode_greedy
 from rtts.models import reformer_tts as tts_model
 from rtts.text import encode_batch
 
@@ -35,10 +35,16 @@ class Synthesizer:
         LOSS (BENCH.md — multiple in-place cache updates per loop body
         defeat XLA's buffer aliasing), left available for
         directly-attached deployments.  ``staged`` grows the KV buffers
-        geometrically over the decode ("auto": on for long decodes —
-        +50% frames/s at 1k frames, measured; see decode_greedy)."""
+        geometrically over the decode ("auto": on from 256 frames —
+        +15-44% frames/s, measured; see decode_greedy)."""
         self.cfg = cfg
-        self.tts_params = tts_params
+        # one-time bf16 cast of matmul weights, OUTSIDE the jit: the
+        # in-graph cast is bit-identical but XLA re-materializes it per
+        # stage loop under staged decoding (BENCH.md — 11.5k vs 18.0k
+        # frames/s at b8x512); pre-cast jit ARGUMENTS sidestep that and
+        # also amortize the cast across calls
+        self.tts_params = _precast_weights(
+            tts_params, _dtype(cfg.model.compute_dtype))
         self.vocoder_params = vocoder_params
         self.max_frames = max_frames
         self.mode = mode

@@ -118,3 +118,30 @@ def test_recompute_decodes_lsh_model():
     assert mel.shape == (2, 32, 20)
     assert np.isfinite(np.asarray(mel)).all()
     assert (np.asarray(lengths) == 32).all()
+
+
+def test_precast_weights_bit_identical():
+    """decode_greedy pre-casts >=2-D f32 weights to bf16 before the loop
+    (BENCH.md: 2x decode — XLA does not hoist the in-loop casts itself).
+    Feeding params that were ALREADY pre-cast must be bit-identical, and
+    the helper must leave 1-D leaves (LN scales, biases) f32."""
+    import dataclasses
+
+    from rtts.infer.decode import _precast_weights
+
+    cfg = dataclasses.replace(tiny_cfg(), compute_dtype="bfloat16")
+    params, memory, tmask = _memory(cfg)
+    cast = _precast_weights(params, jnp.bfloat16)
+    leaves = jax.tree_util.tree_leaves(cast)
+    assert any(l.dtype == jnp.bfloat16 for l in leaves if l.ndim >= 2)
+    assert all(l.dtype == jnp.float32 for l in leaves if l.ndim == 1)
+    # f32 compute dtype: no-op
+    assert _precast_weights(params, jnp.float32) is params
+
+    mel_a, len_a, stop_a = decode_greedy(params, cfg, memory, tmask,
+                                         max_frames=16, stop_threshold=2.0)
+    mel_b, len_b, stop_b = decode_greedy(cast, cfg, memory, tmask,
+                                         max_frames=16, stop_threshold=2.0)
+    np.testing.assert_array_equal(np.asarray(len_a), np.asarray(len_b))
+    np.testing.assert_array_equal(np.asarray(mel_a), np.asarray(mel_b))
+    np.testing.assert_array_equal(np.asarray(stop_a), np.asarray(stop_b))
