@@ -168,6 +168,13 @@ class ReformerTTSConfig:
     # dtype policy
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
+    # serving KV-cache storage dtype: "compute" (default) stores decode
+    # K/V caches + cross-attention memory in compute_dtype;
+    # "float8_e4m3fn" halves the dominant per-step HBM stream of AR
+    # decoding (the cache re-read) at ~8x coarser key/value rounding —
+    # opt-in, fidelity quantified in BENCH.md/PARITY.md.  Training is
+    # unaffected (the knob only touches rtts/infer/decode.py buffers).
+    kv_cache_dtype: str = "compute"
 
 
 @dataclass(frozen=True)

@@ -76,6 +76,25 @@ def _precast_weights(params, cdt):
         return casted
 
 
+def _kv_dtype(cfg: ReformerTTSConfig, cdt):
+    """Storage dtype for the decode KV caches + cross-attn memory.
+
+    "compute" (default) = ``cdt`` (bit-identical to round-1 behavior).
+    "float8_e4m3fn" halves cache bytes — the dominant per-step HBM read
+    of AR decoding on this bandwidth-bound backend (BENCH.md cost model).
+    The caches are loop-carried, so the f8->compute upcast cannot be
+    hoisted out of the decode loop and fuses into the attention einsum's
+    operand read: per-step traffic is the f8 bytes (unlike weight
+    quantization, where XLA materializes the dequantized copy — probed
+    and rejected, BENCH.md)."""
+    name = getattr(cfg, "kv_cache_dtype", "compute")
+    if name in ("compute", None, ""):
+        return cdt
+    if name == "float8_e4m3fn":
+        return jnp.float8_e4m3fn
+    return _dtype(name)
+
+
 def _proj_heads(params_w, x, num_heads, cdt):
     """(B, D) -> (B, H, d)"""
     y = dense(params_w, x, cdt)
@@ -95,17 +114,21 @@ def _self_attn_step(p, h_t, k_cache, v_cache, t, num_heads, cdt):
     v_t = _proj_heads(p["w_v"], h_t, num_heads, cdt)
     d = qk_t.shape[-1]
     k_t = _len_norm(qk_t) * (d ** -0.5)
+    # storage dtype travels with the buffers (f8 when cfg.kv_cache_dtype
+    # asks for it); the upcast at read fuses into the einsum
     k_cache = jax.lax.dynamic_update_slice_in_dim(
-        k_cache, k_t[:, None], t, axis=1)
+        k_cache, k_t[:, None].astype(k_cache.dtype), t, axis=1)
     v_cache = jax.lax.dynamic_update_slice_in_dim(
-        v_cache, v_t[:, None], t, axis=1)
-    scores = jnp.einsum("bhd,bthd->bht", qk_t, k_cache).astype(jnp.float32)
+        v_cache, v_t[:, None].astype(v_cache.dtype), t, axis=1)
+    scores = jnp.einsum("bhd,bthd->bht", qk_t,
+                        k_cache.astype(cdt)).astype(jnp.float32)
     t_max = k_cache.shape[1]
     pos = jnp.arange(t_max)[None, None, :]
     scores = jnp.where(pos > t, MASK_VALUE, scores)      # causal/validity
     scores = jnp.where(pos == t, SELF_MASK_VALUE, scores)  # no self-attend
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bht,bthd->bhd", probs.astype(v_cache.dtype), v_cache)
+    out = jnp.einsum("bht,bthd->bhd", probs.astype(cdt),
+                     v_cache.astype(cdt))
     out = out.reshape(out.shape[0], -1)
     return dense(p["w_o"], out, cdt), k_cache, v_cache
 
@@ -137,13 +160,14 @@ def _self_attn_step_lsh(p, h_t, k_cache, v_cache, b_cache, rotations, t,
     bucket_t = jnp.argmax(rotated, axis=-1).astype(jnp.int32)  # (B, H, nh)
 
     k_cache = jax.lax.dynamic_update_slice_in_dim(
-        k_cache, k_t[:, None], t, axis=1)
+        k_cache, k_t[:, None].astype(k_cache.dtype), t, axis=1)
     v_cache = jax.lax.dynamic_update_slice_in_dim(
-        v_cache, v_t[:, None], t, axis=1)
+        v_cache, v_t[:, None].astype(v_cache.dtype), t, axis=1)
     b_cache = jax.lax.dynamic_update_slice_in_dim(
         b_cache, bucket_t[:, :, :, None], t, axis=3)
 
-    scores = jnp.einsum("bhd,bthd->bht", qk_t, k_cache).astype(jnp.float32)
+    scores = jnp.einsum("bhd,bthd->bht", qk_t,
+                        k_cache.astype(cdt)).astype(jnp.float32)
     t_max = k_cache.shape[1]
     pos = jnp.arange(t_max)[None, None, :]
     scores = jnp.where(pos > t, MASK_VALUE, scores)          # causal
@@ -156,8 +180,8 @@ def _self_attn_step_lsh(p, h_t, k_cache, v_cache, b_cache, rotations, t,
                          MASK_VALUE)
     lse = jax.nn.logsumexp(scores_r, axis=-1)                # (B,H,nh)
     probs = jnp.exp(scores_r - lse[..., None])
-    out_r = jnp.einsum("bhnt,bthd->bhnd", probs.astype(v_cache.dtype),
-                       v_cache)
+    out_r = jnp.einsum("bhnt,bthd->bhnd", probs.astype(cdt),
+                       v_cache.astype(cdt))
     w = jnp.exp(lse - jax.nn.logsumexp(lse, axis=-1, keepdims=True))
     out = jnp.einsum("bhn,bhnd->bhd", w.astype(out_r.dtype), out_r)
     out = out.reshape(out.shape[0], -1)
@@ -197,9 +221,9 @@ def _self_attn_step_lsh_chunk(p, h_t, k_cache, v_cache, ring, rotations, t,
     bucket_t = jnp.argmax(rotated, axis=-1).astype(jnp.int32)  # (B, H, nh)
 
     k_cache = jax.lax.dynamic_update_slice_in_dim(
-        k_cache, k_t[:, None], t, axis=1)
+        k_cache, k_t[:, None].astype(k_cache.dtype), t, axis=1)
     v_cache = jax.lax.dynamic_update_slice_in_dim(
-        v_cache, v_t[:, None], t, axis=1)
+        v_cache, v_t[:, None].astype(v_cache.dtype), t, axis=1)
 
     idx, cnt = ring["idx"], ring["cnt"]
     b, h, nh, nb, cap = idx.shape
@@ -213,8 +237,8 @@ def _self_attn_step_lsh_chunk(p, h_t, k_cache, v_cache, ring, rotations, t,
 
     # gather k/v from the linear (B,T,H,d) caches at the ring positions
     flat = pos.reshape(b, h, nh * cap).transpose(0, 2, 1)       # (B,nhC,H)
-    k_g = jnp.take_along_axis(k_cache, flat[..., None], axis=1)
-    v_g = jnp.take_along_axis(v_cache, flat[..., None], axis=1)
+    k_g = jnp.take_along_axis(k_cache, flat[..., None], axis=1).astype(cdt)
+    v_g = jnp.take_along_axis(v_cache, flat[..., None], axis=1).astype(cdt)
     k_g = k_g.transpose(0, 2, 1, 3).reshape(b, h, nh, cap, d)
     v_g = v_g.transpose(0, 2, 1, 3).reshape(b, h, nh, cap, d)
 
@@ -249,11 +273,15 @@ def _cross_attn_step(p, h_t, mem_k, mem_v, memory_mask, num_heads, cdt):
     """One-frame cross-attention. mem_k/mem_v: (B, L, H, d) precomputed."""
     q = _proj_heads(p["w_q"], h_t, num_heads, cdt)
     d = q.shape[-1]
-    scores = jnp.einsum("bhd,blhd->bhl", q, mem_k).astype(jnp.float32) * (d ** -0.5)
+    # mem_k/mem_v may be stored f8 (cfg.kv_cache_dtype): the upcast fuses
+    # into the einsum read and, like the weight casts, XLA does not hoist
+    # it out of the decode loop — per-step traffic stays at the f8 bytes
+    scores = jnp.einsum("bhd,blhd->bhl", q,
+                        mem_k.astype(cdt)).astype(jnp.float32) * (d ** -0.5)
     if memory_mask is not None:
         scores = jnp.where(memory_mask[:, None, :], scores, MASK_VALUE)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhl,blhd->bhd", probs.astype(mem_v.dtype), mem_v)
+    out = jnp.einsum("bhl,blhd->bhd", probs.astype(cdt), mem_v.astype(cdt))
     return dense(p["w_o"], out.reshape(out.shape[0], -1), cdt)
 
 
@@ -283,8 +311,10 @@ class DecodeState(NamedTuple):
 
 
 def _init_mem_kv(params, cfg: ReformerTTSConfig, memory, cdt):
-    """Precompute cross-attention K/V per decoder cross layer."""
+    """Precompute cross-attention K/V per decoder cross layer (stored in
+    cfg.kv_cache_dtype — f8 halves the per-step cross-attention read)."""
     num_heads = cfg.decoder.attention.num_heads
+    kdt = _kv_dtype(cfg, cdt)
     mem_k, mem_v = [], []
     layers = params["decoder"]["layers"]
     # layer layout from stack_init(cross_attend=True): [self, cross] * L
@@ -294,8 +324,8 @@ def _init_mem_kv(params, cfg: ReformerTTSConfig, memory, cdt):
         b, l, _ = h.shape
         k = dense(p["attn"]["w_k"], h, cdt).reshape(b, l, num_heads, -1)
         v = dense(p["attn"]["w_v"], h, cdt).reshape(b, l, num_heads, -1)
-        mem_k.append(k)
-        mem_v.append(v)
+        mem_k.append(k.astype(kdt))
+        mem_v.append(v.astype(kdt))
     return tuple(mem_k), tuple(mem_v)
 
 
@@ -422,6 +452,7 @@ def _init_state(params, cfg: ReformerTTSConfig, batch: int, max_frames: int,
                 lsh_cache: bool = False, ring_buckets: int = 0,
                 ring_capacity: int = 0):
     cdt = _dtype(cfg.compute_dtype)
+    kdt = _kv_dtype(cfg, cdt)
     a = cfg.decoder.attention
     n_self = cfg.decoder.num_layers
     r = cfg.reduction_factor
@@ -430,8 +461,8 @@ def _init_state(params, cfg: ReformerTTSConfig, batch: int, max_frames: int,
                          f"reduction_factor {r}")
     n_groups = max_frames // r
     cache_shape = (batch, n_groups, a.num_heads, a.head_dim)
-    qk = tuple(jnp.zeros(cache_shape, cdt) for _ in range(n_self))
-    v = tuple(jnp.zeros(cache_shape, cdt) for _ in range(n_self))
+    qk = tuple(jnp.zeros(cache_shape, kdt) for _ in range(n_self))
+    v = tuple(jnp.zeros(cache_shape, kdt) for _ in range(n_self))
     if ring_buckets > 0:
         # O(chunk) mode: per-(head, round, bucket) position ring buffers
         b = tuple(

@@ -145,3 +145,38 @@ def test_precast_weights_bit_identical():
     np.testing.assert_array_equal(np.asarray(len_a), np.asarray(len_b))
     np.testing.assert_array_equal(np.asarray(mel_a), np.asarray(mel_b))
     np.testing.assert_array_equal(np.asarray(stop_a), np.asarray(stop_b))
+
+
+def test_f8_kv_cache_close_to_bf16():
+    """Opt-in f8 KV-cache serving (cfg.kv_cache_dtype="float8_e4m3fn"):
+    halves the dominant per-step HBM stream (BENCH.md cost model).  Must
+    run every decode mode finite and stay close to the full-precision
+    decode on untrained weights; the default ("compute") path must be
+    byte-identical to before the knob existed."""
+    import dataclasses
+
+    cfg16 = dataclasses.replace(tiny_cfg(), compute_dtype="bfloat16")
+    cfg8 = dataclasses.replace(cfg16, kv_cache_dtype="float8_e4m3fn")
+    params, memory, tmask = _memory(cfg16)
+
+    mel16, len16, _ = decode_greedy(params, cfg16, memory, tmask,
+                                    max_frames=16, stop_threshold=2.0)
+    mel8, len8, _ = decode_greedy(params, cfg8, memory, tmask,
+                                  max_frames=16, stop_threshold=2.0)
+    assert np.isfinite(np.asarray(mel8)).all()
+    # untrained weights, AR feedback: loose but diagnostic bound
+    err = float(np.abs(np.asarray(mel8) - np.asarray(mel16)).max())
+    assert err < 0.2, err
+    np.testing.assert_array_equal(np.asarray(len16), np.asarray(len8))
+
+    # LSH modes run finite with f8 caches
+    lcfg = dataclasses.replace(lsh_cfg(reversible=True),
+                               kv_cache_dtype="float8_e4m3fn")
+    lp, lmem, lmask = _memory(lcfg, B=2, L=64)
+    for mode in ("kv_lsh", "kv_lsh_chunk"):
+        mel, lengths, _ = jax.jit(
+            lambda p, m, mm, _mode=mode: decode_greedy(
+                p, lcfg, m, mm, max_frames=32, stop_threshold=2.0,
+                mode=_mode)
+        )(lp, lmem, lmask)
+        assert np.isfinite(np.asarray(mel)).all(), mode
