@@ -134,12 +134,20 @@ def _build(cfg: Config):
 
 
 def _decode_flops(cfg: Config, params, batch: int, token_len: int,
-                  max_frames: int, mode: str = "kv_full") -> Optional[float]:
+                  max_frames: int, mode: str = "kv_full",
+                  staged="auto", stage_min: int = 128) -> Optional[float]:
     """Analytic total FLOPs of encode + AR decode + postnet, assembled from
     exact per-piece XLA cost analysis (the while_loop trip count is known:
-    stop_threshold=2.0 forces the full max_frames)."""
+    stop_threshold=2.0 forces the full max_frames).
+
+    ``staged`` mirrors decode_greedy: when staging is active the early
+    steps attend over SMALLER caches, so the per-step cost is evaluated
+    at each stage's buffer size and weighted by that stage's step count —
+    a fixed-size model would overstate the executed FLOPs (and inflate
+    MFU) by ~1/3 at the default schedule."""
     from rtts.infer.decode import (
-        _decode_rotations, _init_mem_kv, _init_state, _make_step_fn, _dtype)
+        _decode_rotations, _init_mem_kv, _init_state, _make_step_fn, _dtype,
+        _stage_sizes)
     from rtts.models import reformer_tts as M
     from rtts.models.reformer_tts import postnet_apply
 
@@ -165,21 +173,32 @@ def _decode_flops(cfg: Config, params, batch: int, token_len: int,
                          num_buckets=nb)
     a = mcfg.decoder.attention
     ring_cap = a.chunk_length * (1 + a.num_chunks_before + a.num_chunks_after)
-    state = _init_state(
-        params, mcfg, batch, max_frames, lsh_cache=(mode == "kv_lsh"),
-        ring_buckets=(nb if mode == "kv_lsh_chunk" else 0),
-        ring_capacity=min(ring_cap, max_frames // mcfg.reduction_factor))
-    f_step = _compiled_flops(step, state)
+    n_groups = max_frames // mcfg.reduction_factor
+    if staged == "auto":
+        staged = n_groups >= 256     # decode_greedy's auto rule
+    sizes = _stage_sizes(n_groups, stage_min) if staged else (n_groups,)
+    f_decode = 0.0
+    prev = 0
+    for size in sizes:
+        state = _init_state(
+            params, mcfg, batch, size * mcfg.reduction_factor,
+            lsh_cache=(mode == "kv_lsh"),
+            ring_buckets=(nb if mode == "kv_lsh_chunk" else 0),
+            ring_capacity=min(ring_cap, n_groups))
+        f_step = _compiled_flops(step, state)
+        if f_step is None:
+            return None
+        f_decode += (size - prev) * f_step
+        prev = size
 
     mel = jnp.zeros((batch, max_frames, mcfg.n_mels), jnp.float32)
     pn = lambda p, m: postnet_apply(p["postnet"], mcfg, m.astype(cdt),
                                     None, True, cdt)
     f_pn = _compiled_flops(pn, params, mel)
 
-    n_groups = max_frames // mcfg.reduction_factor
-    if f_enc is None or f_step is None:
+    if f_enc is None:
         return None
-    return f_enc + n_groups * f_step + (f_pn or 0.0)
+    return f_enc + f_decode + (f_pn or 0.0)
 
 
 def _serving_params(cfg: Config, params):
@@ -223,7 +242,8 @@ def bench_decode(cfg: Optional[Config] = None, batch: int = 8,
         times.append(time.perf_counter() - t0)
     dt = min(times)
     frames = batch * max_frames
-    flops = _decode_flops(cfg, params, batch, token_len, max_frames, mode)
+    flops = _decode_flops(cfg, params, batch, token_len, max_frames, mode,
+                          staged=staged)
     return {
         "frames_per_sec": frames / dt,
         "decode_seconds": dt,
@@ -280,7 +300,8 @@ def bench_e2e(cfg: Optional[Config] = None, batch: int = 8,
     dt = min(times)
     audio_seconds = batch * max_frames / _frame_rate(cfg)
     rtf = dt / audio_seconds
-    flops = _decode_flops(cfg, params, batch, token_len, max_frames, mode)
+    flops = _decode_flops(cfg, params, batch, token_len, max_frames, mode,
+                          staged=staged)
     if flops is not None and use_vocoder:
         mel0 = jnp.zeros((batch, max_frames, cfg.vocoder.n_mels), jnp.float32)
         f_voc = _compiled_flops(

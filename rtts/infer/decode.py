@@ -113,14 +113,21 @@ def _self_attn_step(p, h_t, k_cache, v_cache, t, num_heads, cdt):
     qk_t = _proj_heads(p["w_qk"], h_t, num_heads, cdt)   # (B, H, d)
     v_t = _proj_heads(p["w_v"], h_t, num_heads, cdt)
     d = qk_t.shape[-1]
-    k_t = _len_norm(qk_t) * (d ** -0.5)
-    # storage dtype travels with the buffers (f8 when cfg.kv_cache_dtype
-    # asks for it); the upcast at read fuses into the einsum
+    # Storage dtype travels with the buffers (f8 when cfg.kv_cache_dtype
+    # asks for it); the upcast at read fuses into the einsum.  Quantized
+    # caches store the len-normed key UNSCALED (component rms ~1) and
+    # fold the 1/sqrt(d) into the query instead — pre-scaled keys have
+    # rms d**-0.5, which at d=64 pushes ~10% of components into the
+    # e4m3 subnormal range (quantum 2^-9).  The default (storage ==
+    # compute dtype) keeps the pre-scaled layout bit-identically.
+    quant = k_cache.dtype != qk_t.dtype
+    k_t = _len_norm(qk_t) if quant else _len_norm(qk_t) * (d ** -0.5)
+    q_s = qk_t * (d ** -0.5) if quant else qk_t
     k_cache = jax.lax.dynamic_update_slice_in_dim(
         k_cache, k_t[:, None].astype(k_cache.dtype), t, axis=1)
     v_cache = jax.lax.dynamic_update_slice_in_dim(
         v_cache, v_t[:, None].astype(v_cache.dtype), t, axis=1)
-    scores = jnp.einsum("bhd,bthd->bht", qk_t,
+    scores = jnp.einsum("bhd,bthd->bht", q_s,
                         k_cache.astype(cdt)).astype(jnp.float32)
     t_max = k_cache.shape[1]
     pos = jnp.arange(t_max)[None, None, :]
@@ -150,7 +157,11 @@ def _self_attn_step_lsh(p, h_t, k_cache, v_cache, b_cache, rotations, t,
     qk_t = _proj_heads(p["w_qk"], h_t, num_heads, cdt)   # (B, H, d)
     v_t = _proj_heads(p["w_v"], h_t, num_heads, cdt)
     d = qk_t.shape[-1]
-    k_t = _len_norm(qk_t) * (d ** -0.5)
+    # quantized caches: unscaled normed keys + query-side 1/sqrt(d)
+    # (see _self_attn_step — avoids the e4m3 subnormal range)
+    quant = k_cache.dtype != qk_t.dtype
+    k_t = _len_norm(qk_t) if quant else _len_norm(qk_t) * (d ** -0.5)
+    q_s = qk_t * (d ** -0.5) if quant else qk_t
 
     # hash the new token with the decode-fixed rotations
     rotated = jnp.einsum("bhd,hdnr->bhnr",
@@ -166,7 +177,7 @@ def _self_attn_step_lsh(p, h_t, k_cache, v_cache, b_cache, rotations, t,
     b_cache = jax.lax.dynamic_update_slice_in_dim(
         b_cache, bucket_t[:, :, :, None], t, axis=3)
 
-    scores = jnp.einsum("bhd,bthd->bht", qk_t,
+    scores = jnp.einsum("bhd,bthd->bht", q_s,
                         k_cache.astype(cdt)).astype(jnp.float32)
     t_max = k_cache.shape[1]
     pos = jnp.arange(t_max)[None, None, :]
@@ -212,7 +223,11 @@ def _self_attn_step_lsh_chunk(p, h_t, k_cache, v_cache, ring, rotations, t,
     qk_t = _proj_heads(p["w_qk"], h_t, num_heads, cdt)   # (B, H, d)
     v_t = _proj_heads(p["w_v"], h_t, num_heads, cdt)
     d = qk_t.shape[-1]
-    k_t = _len_norm(qk_t) * (d ** -0.5)
+    # quantized caches: unscaled normed keys + query-side 1/sqrt(d)
+    # (see _self_attn_step — avoids the e4m3 subnormal range)
+    quant = k_cache.dtype != qk_t.dtype
+    k_t = _len_norm(qk_t) if quant else _len_norm(qk_t) * (d ** -0.5)
+    q_s = qk_t * (d ** -0.5) if quant else qk_t
 
     rotated = jnp.einsum("bhd,hdnr->bhnr",
                          jax.lax.stop_gradient(qk_t).astype(jnp.float32),
@@ -242,7 +257,7 @@ def _self_attn_step_lsh_chunk(p, h_t, k_cache, v_cache, ring, rotations, t,
     k_g = k_g.transpose(0, 2, 1, 3).reshape(b, h, nh, cap, d)
     v_g = v_g.transpose(0, 2, 1, 3).reshape(b, h, nh, cap, d)
 
-    scores = jnp.einsum("bhd,bhncd->bhnc", qk_t, k_g).astype(jnp.float32)
+    scores = jnp.einsum("bhd,bhncd->bhnc", q_s, k_g).astype(jnp.float32)
     scores = jnp.where(valid, scores, MASK_VALUE)
     self_col = jnp.full(scores.shape[:-1] + (1,), SELF_MASK_VALUE,
                         jnp.float32)
@@ -636,6 +651,12 @@ def decode_greedy(
         stop_threshold = cfg.stop_threshold
     if mode == "auto":
         mode = _auto_mode(cfg, max_frames)
+    if max_frames % cfg.reduction_factor != 0:
+        # validate here: _init_state only ever sees sizes[0]*r (always a
+        # multiple), so without this check an invalid max_frames would
+        # surface as an opaque shape mismatch at the final frame mask
+        raise ValueError(f"max_frames {max_frames} not a multiple of "
+                         f"reduction_factor {cfg.reduction_factor}")
     batch = memory.shape[0]
     params = _precast_weights(params, cdt)
     mem_k, mem_v = _init_mem_kv(params, cfg, memory.astype(cdt), cdt)

@@ -12,11 +12,17 @@ Pipeline per chunk of K mel frames:
      squeezewave.infer_streaming);
   4. yield the finished audio samples.
 
-The decode state machine is identical to ``decode_greedy`` (same step
-function, state carried across jit boundaries), so streamed mel equals the
-non-streaming decode bit-for-bit; postnet/vocoder context windows make the
+The decode state machine is identical to ``decode_greedy`` with
+fixed-size buffers (same step function, state carried across jit
+boundaries), so streamed mel equals the ``staged=False`` non-streaming
+decode bit-for-bit at float32; postnet/vocoder context windows make the
 audio equal in the interior and differ only by edge effects at the final
-utterance boundary (tested).
+utterance boundary (tested).  NOTE: ``decode_greedy``'s default
+``staged="auto"`` grows its buffers from 256 groups, which changes f32
+softmax reduction sizes (refusion-class numerics) — at >=256 decoded
+groups the batch Synthesizer's default output therefore differs from the
+streamed (fixed-buffer) mel by that same class; compare against
+``staged=False`` for the bit-exact invariant.
 """
 
 from __future__ import annotations
@@ -61,7 +67,10 @@ class StreamingSynthesizer:
         exactness tests pin this path), kv_lsh, kv_lsh_chunk, or auto
         (kv_lsh_chunk when the decoder self-attention kind is lsh)."""
         self.cfg = cfg
-        self.tts_params = tts_params
+        # one-time bf16 weight cast, OUTSIDE the jit, shared by every
+        # stream() call and segment (see decode._precast_weights)
+        self.tts_params = _precast_weights(
+            tts_params, _dtype(cfg.model.compute_dtype))
         self.vocoder_params = vocoder_params
         self.max_frames = max_frames
         mcfg = cfg.model
@@ -131,9 +140,7 @@ class StreamingSynthesizer:
                                      max_len=tcfg.max_len, level=tcfg.level)
         tokens, tmask = jnp.asarray(tokens), jnp.asarray(tmask)
         cdt = _dtype(cfg.compute_dtype)
-        # one-time bf16 weight cast, shared by every segment's decode loop
-        # (bit-identical to the per-step casts — see decode._precast_weights)
-        params = _precast_weights(self.tts_params, cdt)
+        params = self.tts_params   # pre-cast once in __init__
         memory = self._encode(params, tokens, tmask)
         mem_k, mem_v = _init_mem_kv(params, cfg, memory.astype(cdt), cdt)
         rng = jax.random.PRNGKey(seed)
