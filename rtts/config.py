@@ -72,7 +72,15 @@ class DatasetConfig:
 
 @dataclass(frozen=True)
 class AttentionConfig:
-    """Reformer attention knobs (verified surface, SURVEY.md §3.2)."""
+    """Reformer attention knobs (verified surface, SURVEY.md §3.2).
+
+    Choosing ``kind`` for TRAINING throughput (measured, BENCH.md
+    "Training attention"): full softmax is 2-4x faster up to ~4k frames
+    on TPU (the MXU makes O(L^2) scores cheap; LSH's sort/gather
+    machinery costs ~linear in num_hashes); LSH wins outright from
+    ~5-6k frames (6.7x at 8k) where full attention's (B,H,L,L) score
+    tensors become pure HBM traffic, and is what makes 8k-frame training
+    fit on one chip together with reversible residuals."""
 
     kind: str = "lsh"                 # "full" | "lsh" | "local"
     num_heads: int = 8
