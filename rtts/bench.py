@@ -177,19 +177,35 @@ def _decode_flops(cfg: Config, params, batch: int, token_len: int,
     if staged == "auto":
         staged = n_groups >= 256     # decode_greedy's auto rule
     sizes = _stage_sizes(n_groups, stage_min) if staged else (n_groups,)
-    f_decode = 0.0
-    prev = 0
-    for size in sizes:
+
+    def step_flops_at(size):
         state = _init_state(
             params, mcfg, batch, size * mcfg.reduction_factor,
             lsh_cache=(mode == "kv_lsh"),
             ring_buckets=(nb if mode == "kv_lsh_chunk" else 0),
             ring_capacity=min(ring_cap, n_groups))
-        f_step = _compiled_flops(step, state)
-        if f_step is None:
+        return _compiled_flops(step, state)
+
+    # per-step FLOPs are exactly affine in the cache length (attention
+    # terms linear in T, everything else constant), so two compiles pin
+    # the whole stage schedule — avoids one compile per stage on the
+    # slow-compile tunneled backend
+    f_last = step_flops_at(sizes[-1])
+    if f_last is None:
+        return None
+    if len(sizes) == 1:
+        f_decode = sizes[0] * f_last
+    else:
+        f_first = step_flops_at(sizes[0])
+        if f_first is None:
             return None
-        f_decode += (size - prev) * f_step
-        prev = size
+        slope = (f_last - f_first) / (sizes[-1] - sizes[0])
+        intercept = f_first - slope * sizes[0]
+        f_decode = 0.0
+        prev = 0
+        for size in sizes:
+            f_decode += (size - prev) * (intercept + slope * size)
+            prev = size
 
     mel = jnp.zeros((batch, max_frames, mcfg.n_mels), jnp.float32)
     pn = lambda p, m: postnet_apply(p["postnet"], mcfg, m.astype(cdt),
