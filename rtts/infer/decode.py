@@ -463,6 +463,162 @@ def _make_step_fn(params, cfg: ReformerTTSConfig, mem_k, mem_v, memory_mask,
     return step
 
 
+def _self_attn_block_substep(p, h_t, k_cache, v_cache, flight_k, flight_v,
+                             t, num_heads, cdt):
+    """Full-attention substep with DEFERRED cache writes (block decoding).
+
+    ``flight_k``/``flight_v`` hold the current trip's earlier entries
+    (python lists of (B, H, d), statically sized) — positions t-j..t-1
+    when this call serves position t.  The cache still ends at the trip
+    start, so cache scores mask everything from the trip start on and the
+    in-flight entries supply those positions instead; concatenated in
+    position order, the score vector holds the same values as the
+    eager-write step (softmax reduction length differs by the masked
+    tail — refusion-class numerics, same as staged decoding).  Returns
+    (out, k_entry, v_entry) — entries already in storage dtype, for ONE
+    batched dynamic_update_slice per buffer per trip (multiple updates to
+    the same carried buffer defeat XLA's in-place aliasing — BENCH.md
+    "Decode-loop unrolling")."""
+    qk_t = _proj_heads(p["w_qk"], h_t, num_heads, cdt)   # (B, H, d)
+    v_t = _proj_heads(p["w_v"], h_t, num_heads, cdt)
+    d = qk_t.shape[-1]
+    quant = k_cache.dtype != qk_t.dtype
+    k_t = _len_norm(qk_t) if quant else _len_norm(qk_t) * (d ** -0.5)
+    q_s = qk_t * (d ** -0.5) if quant else qk_t
+    # storage-dtype roundtrip so values equal what a cache read-back gives
+    k_store = k_t.astype(k_cache.dtype)
+    v_store = v_t.astype(v_cache.dtype)
+
+    j = len(flight_k)                       # position within the trip
+    trip_start = t - j
+    scores_c = jnp.einsum("bhd,bthd->bht", q_s,
+                          k_cache.astype(cdt)).astype(jnp.float32)
+    pos = jnp.arange(k_cache.shape[1])[None, None, :]
+    # cache rows from the trip start on are stale — the flight covers them
+    scores_c = jnp.where(pos >= trip_start, MASK_VALUE, scores_c)
+
+    prev_k = jnp.stack(flight_k + [k_store], axis=1)     # (B, j+1, H, d)
+    prev_v = jnp.stack(flight_v + [v_store], axis=1)
+    scores_f = jnp.einsum("bhd,bjhd->bhj", q_s,
+                          prev_k.astype(cdt)).astype(jnp.float32)
+    # self-position penalty, exactly as the eager step's pos == t branch
+    scores_f = scores_f.at[..., -1].set(SELF_MASK_VALUE)
+
+    scores = jnp.concatenate([scores_c, scores_f], axis=-1)
+    probs = jax.nn.softmax(scores, axis=-1)
+    t_max = k_cache.shape[1]
+    out = (jnp.einsum("bht,bthd->bhd", probs[..., :t_max].astype(cdt),
+                      v_cache.astype(cdt))
+           + jnp.einsum("bhj,bjhd->bhd", probs[..., t_max:].astype(cdt),
+                        prev_v.astype(cdt)))
+    out = out.reshape(out.shape[0], -1)
+    return dense(p["w_o"], out, cdt), k_store, v_store
+
+
+def _make_block_step_fn(params, cfg: ReformerTTSConfig, mem_k, mem_v,
+                        memory_mask, rng, stop_threshold, block: int):
+    """Body advancing ``block`` decoder steps per while_loop trip
+    (kv_full mode only): per-step work is identical to _make_step_fn's,
+    but each KV cache / mel / stop buffer receives ONE batched
+    dynamic_update_slice per trip — preserving XLA's in-place buffer
+    aliasing (the naive k-steps-per-trip unroll copies the caches every
+    extra step) while amortizing the measured ~55 µs fixed per-trip cost
+    k-fold (BENCH.md "Decode-loop unrolling")."""
+    cdt = _dtype(cfg.compute_dtype)
+    pos_table, pos_alpha = _pos_table(params, cfg)
+    r = cfg.reduction_factor
+    n_mels = cfg.n_mels
+    dcfg = cfg.decoder
+    num_heads = dcfg.attention.num_heads
+    layers = params["decoder"]["layers"]
+
+    def body(state: DecodeState) -> DecodeState:
+        t0 = state.t
+        n_self = len(state.k_caches)
+        flight_k = [[] for _ in range(n_self)]
+        flight_v = [[] for _ in range(n_self)]
+        prev_frame = state.prev_frame
+        done = state.done
+        lengths = state.lengths
+        groups, stops, lives = [], [], []
+        for j in range(block):
+            t = t0 + j
+            key = jax.random.fold_in(rng, t)
+            h = prenet_mlp(params["dec_prenet"], prev_frame.astype(cdt), key,
+                           cfg.dec_prenet_dropout, always_dropout=True,
+                           deterministic=True, compute_dtype=cdt)
+            pe = jax.lax.dynamic_slice_in_dim(pos_table, t, 1, axis=0)[0]
+            h = h + pos_alpha.astype(h.dtype) * pe.astype(h.dtype)
+
+            h1 = h2 = h
+            ci = 0
+            xi = 0
+            for li, lp in enumerate(layers):
+                hh = layer_norm(lp["f"]["ln"], h2)
+                if li % 2 == 1:
+                    out = _cross_attn_step(lp["f"]["attn"], hh, mem_k[xi],
+                                           mem_v[xi], memory_mask,
+                                           num_heads, cdt)
+                    xi += 1
+                else:
+                    out, k_e, v_e = _self_attn_block_substep(
+                        lp["f"]["attn"], hh, state.k_caches[ci],
+                        state.v_caches[ci], flight_k[ci], flight_v[ci],
+                        t, num_heads, cdt)
+                    flight_k[ci].append(k_e)
+                    flight_v[ci].append(v_e)
+                    ci += 1
+                h1 = h1 + out
+                h2 = h2 + _ffn_step(lp["g"], h1, dcfg.ffn_activation, cdt)
+            y = (h1 + h2) * 0.5
+            y = layer_norm(params["decoder"]["final_ln"], y)
+
+            group = dense(params["mel_head"], y, cdt).astype(jnp.float32)
+            stop_logit = dense(params["stop_head"], y,
+                               cdt)[..., 0].astype(jnp.float32)
+            lives.append(~jnp.all(done))
+            groups.append(group)
+            stops.append(stop_logit)
+            newly_done = jax.nn.sigmoid(stop_logit) > stop_threshold
+            lengths = jnp.where(done, lengths, (t0 + j + 1) * r)
+            done = done | newly_done
+            prev_frame = group
+
+        # ---- single batched write per buffer ----
+        k_caches = tuple(
+            jax.lax.dynamic_update_slice_in_dim(
+                state.k_caches[ci], jnp.stack(flight_k[ci], axis=1), t0,
+                axis=1)
+            for ci in range(n_self))
+        v_caches = tuple(
+            jax.lax.dynamic_update_slice_in_dim(
+                state.v_caches[ci], jnp.stack(flight_v[ci], axis=1), t0,
+                axis=1)
+            for ci in range(n_self))
+
+        frames = jnp.concatenate(
+            [g.reshape(-1, r, n_mels) for g in groups], axis=1)  # (B,k*r,M)
+        stop_rep = jnp.concatenate(
+            [jnp.repeat(s[:, None], r, axis=1) for s in stops], axis=1)
+        live_mask = jnp.repeat(jnp.stack(lives), r)              # (k*r,)
+        cur_mel = jax.lax.dynamic_slice_in_dim(state.mel, t0 * r,
+                                               block * r, axis=1)
+        mel = jax.lax.dynamic_update_slice_in_dim(
+            state.mel,
+            jnp.where(live_mask[None, :, None], frames, cur_mel),
+            t0 * r, axis=1)
+        cur_stop = jax.lax.dynamic_slice_in_dim(state.stop_logits, t0 * r,
+                                                block * r, axis=1)
+        stop_logits = jax.lax.dynamic_update_slice_in_dim(
+            state.stop_logits,
+            jnp.where(live_mask[None, :], stop_rep, cur_stop), t0 * r,
+            axis=1)
+        return DecodeState(t0 + block, done, lengths, prev_frame, mel,
+                           stop_logits, k_caches, v_caches, state.b_caches)
+
+    return body
+
+
 def _init_state(params, cfg: ReformerTTSConfig, batch: int, max_frames: int,
                 lsh_cache: bool = False, ring_buckets: int = 0,
                 ring_capacity: int = 0):
@@ -616,22 +772,23 @@ def decode_greedy(
           "auto"         — kv_lsh_chunk for LSH decoders WHEN it saves
                            work (see _auto_mode), else kv_full
 
-    unroll: decoder steps executed per while_loop trip.  The tunneled TPU
-    backend charges a fixed ~per-iteration overhead inside jitted loop
-    chains (CLAUDE.md); running k sequential steps per trip amortizes it
-    k-fold without changing any step's numerics.  Snapped down to the
-    largest divisor of the group count so buffers never need padding
-    (padded caches would change f32 softmax reduction sizes, and AR
-    feedback amplifies even 1-ulp differences); dead trailing steps in a
-    trip (after every row stops, where unroll=1 would have exited) are
-    write-gated.  Outputs are therefore identical up to XLA fusion
-    rounding — mel/lengths observed bit-equal, stop logits within 1 ulp
-    (tested).  Early-stop granularity coarsens to ``unroll`` steps.
-    MEASURED on the tunneled v5e (BENCH.md): a LOSS (unroll 2 → +33%
-    wall, 4 → +88%) — multiple dynamic_update_slice writes to the same
-    carried cache per loop body defeat XLA's in-place buffer aliasing,
-    so each extra step per trip copies the KV buffers.  Default 1; the
-    knob remains for directly-attached TPU deployments.
+    unroll: decoder steps executed per while_loop trip.  For kv_full
+    this uses BLOCK decoding: each trip runs k steps with deferred
+    cache writes — per-layer in-flight K/V entries ride as statically
+    sized registers and each KV/mel/stop buffer receives ONE batched
+    dynamic_update_slice per trip, preserving XLA's in-place aliasing
+    (the naive k-writes-per-trip unroll copies the caches every extra
+    step: measured +33%/+88% wall at k=2/4).  Numerics: the in-flight
+    scores concatenate after the cache scores in position order, so the
+    score VALUES match the eager step exactly but the f32 softmax
+    reduction length differs — refusion-class differences (same class
+    as staged), lengths within one step near the stop threshold.  For
+    the LSH modes the trip is a plain k-step replay (bit-identical,
+    tested).  Snapped down to the largest divisor of the group count;
+    early-stop granularity coarsens to ``unroll`` steps.  MEASURED on
+    the tunneled v5e (BENCH.md): still a mild LOSS (−6% at k=2, −18%
+    at k=4 — far better than the copying unroll it replaces, but the
+    fixed per-trip cost does not amortize away); default 1.
 
     staged: run the loop in log-spaced stages with geometrically growing
     KV/mel buffers (x2 from ``stage_min`` groups).  Every step re-reads
@@ -688,10 +845,16 @@ def decode_greedy(
         ring_buckets=(nb if mode == "kv_lsh_chunk" else 0),
         ring_capacity=min(ring_cap, n_groups))
 
-    def body(s: DecodeState) -> DecodeState:
-        for _ in range(unroll):
-            s = step(s)
-        return s
+    if unroll > 1 and mode == "kv_full":
+        # block decoding: one batched cache write per trip (keeps XLA's
+        # in-place aliasing), k trips' fixed cost amortized
+        body = _make_block_step_fn(params, cfg, mem_k, mem_v, memory_mask,
+                                   rng, stop_threshold, block=unroll)
+    else:
+        def body(s: DecodeState) -> DecodeState:
+            for _ in range(unroll):
+                s = step(s)
+            return s
 
     for size in sizes:
         if size * cfg.reduction_factor > state.mel.shape[1]:

@@ -31,10 +31,9 @@ class Synthesizer:
         at 8k frames; best cached fidelity on trained checkpoints), else
         kv_full (PARITY.md "Serving parity", BENCH.md).  ``unroll`` runs
         k decoder steps per while_loop trip (output-identical; see
-        decode_greedy).  Default 1: on the tunneled v5e it is a measured
-        LOSS (BENCH.md — multiple in-place cache updates per loop body
-        defeat XLA's buffer aliasing), left available for
-        directly-attached deployments.  ``staged`` grows the KV buffers
+        decode_greedy).  Default 1: on the tunneled v5e even the
+        aliasing-preserving block scheme is a mild measured LOSS
+        (BENCH.md), left available for directly-attached deployments.  ``staged`` grows the KV buffers
         geometrically over the decode ("auto": on from 256 frames —
         +15-44% frames/s, measured; see decode_greedy)."""
         self.cfg = cfg

@@ -36,8 +36,11 @@ def test_recompute_matches_incremental_full_attention():
                                atol=5e-4, rtol=1e-3)
 
 
-def test_unroll_is_output_identical_kv_full():
-    """Loop unrolling (k steps per while_loop trip) must be BIT-identical —
+def test_unroll_block_matches_eager_kv_full():
+    """kv_full unroll>1 is BLOCK decoding (deferred cache writes, one
+    batched update per buffer per trip).  Score VALUES match the eager
+    step exactly; only the f32 softmax reduction length differs
+    (refusion-class), so outputs agree tightly but not bit-for-bit —
     including a non-divisor request (snapped to a divisor) and natural
     early stopping (dead trailing steps in a trip must not write)."""
     cfg = tiny_cfg()
@@ -50,13 +53,22 @@ def test_unroll_is_output_identical_kv_full():
             mel_k, len_k, stop_k = decode_greedy(
                 params, cfg, memory, tmask, max_frames=16,
                 stop_threshold=thr, unroll=unroll)
-            np.testing.assert_array_equal(np.asarray(len_1),
-                                          np.asarray(len_k))
-            np.testing.assert_array_equal(np.asarray(mel_1),
-                                          np.asarray(mel_k))
-            # stop logits round 1 ulp apart under different XLA fusions
-            np.testing.assert_allclose(np.asarray(stop_1),
-                                       np.asarray(stop_k), atol=1e-6)
+            if thr > 1.0:
+                np.testing.assert_array_equal(np.asarray(len_1),
+                                              np.asarray(len_k))
+            else:
+                # a stop logit ON the threshold may flip by one step
+                assert np.abs(np.asarray(len_1).astype(np.int64)
+                              - np.asarray(len_k)).max() <= 1
+            common = np.minimum(np.asarray(len_1), np.asarray(len_k))
+            m = (np.arange(mel_1.shape[1])[None, :]
+                 < common[:, None])[..., None]
+            np.testing.assert_allclose(np.asarray(mel_1) * m,
+                                       np.asarray(mel_k) * m,
+                                       atol=2e-3, rtol=1e-2)
+            np.testing.assert_allclose(
+                np.asarray(stop_1) * m[..., 0],
+                np.asarray(stop_k) * m[..., 0], atol=2e-3)
 
 
 def test_unroll_is_output_identical_lsh_chunk():
