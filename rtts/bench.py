@@ -146,8 +146,8 @@ def _decode_flops(cfg: Config, params, batch: int, token_len: int,
     a fixed-size model would overstate the executed FLOPs (and inflate
     MFU) by ~1/3 at the default schedule."""
     from rtts.infer.decode import (
-        _decode_rotations, _init_mem_kv, _init_state, _make_step_fn, _dtype,
-        _stage_sizes)
+        _auto_staged, _decode_rotations, _init_mem_kv, _init_state,
+        _make_step_fn, _dtype, _stage_sizes)
     from rtts.models import reformer_tts as M
     from rtts.models.reformer_tts import postnet_apply
 
@@ -175,7 +175,7 @@ def _decode_flops(cfg: Config, params, batch: int, token_len: int,
     ring_cap = a.chunk_length * (1 + a.num_chunks_before + a.num_chunks_after)
     n_groups = max_frames // mcfg.reduction_factor
     if staged == "auto":
-        staged = n_groups >= 256     # decode_greedy's auto rule
+        staged = _auto_staged(n_groups)   # the shared decode_greedy rule
     sizes = _stage_sizes(n_groups, stage_min) if staged else (n_groups,)
 
     def step_flops_at(size):

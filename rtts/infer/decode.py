@@ -95,6 +95,16 @@ def _kv_dtype(cfg: ReformerTTSConfig, cdt):
     return _dtype(name)
 
 
+def _to_kv(x, kdt):
+    """Cast a K/V value to the cache storage dtype, saturating instead of
+    overflowing: e4m3fn has no inf, so a magnitude above ~464 converts to
+    NaN (verified on this backend) and one outlier activation would
+    silently poison the whole decode.  No-op clamp for >=16-bit dtypes."""
+    if kdt == jnp.float8_e4m3fn and x.dtype != kdt:
+        x = jnp.clip(x, -448.0, 448.0)
+    return x.astype(kdt)
+
+
 def _proj_heads(params_w, x, num_heads, cdt):
     """(B, D) -> (B, H, d)"""
     y = dense(params_w, x, cdt)
@@ -124,9 +134,9 @@ def _self_attn_step(p, h_t, k_cache, v_cache, t, num_heads, cdt):
     k_t = _len_norm(qk_t) if quant else _len_norm(qk_t) * (d ** -0.5)
     q_s = qk_t * (d ** -0.5) if quant else qk_t
     k_cache = jax.lax.dynamic_update_slice_in_dim(
-        k_cache, k_t[:, None].astype(k_cache.dtype), t, axis=1)
+        k_cache, _to_kv(k_t[:, None], k_cache.dtype), t, axis=1)
     v_cache = jax.lax.dynamic_update_slice_in_dim(
-        v_cache, v_t[:, None].astype(v_cache.dtype), t, axis=1)
+        v_cache, _to_kv(v_t[:, None], v_cache.dtype), t, axis=1)
     scores = jnp.einsum("bhd,bthd->bht", q_s,
                         k_cache.astype(cdt)).astype(jnp.float32)
     t_max = k_cache.shape[1]
@@ -171,9 +181,9 @@ def _self_attn_step_lsh(p, h_t, k_cache, v_cache, b_cache, rotations, t,
     bucket_t = jnp.argmax(rotated, axis=-1).astype(jnp.int32)  # (B, H, nh)
 
     k_cache = jax.lax.dynamic_update_slice_in_dim(
-        k_cache, k_t[:, None].astype(k_cache.dtype), t, axis=1)
+        k_cache, _to_kv(k_t[:, None], k_cache.dtype), t, axis=1)
     v_cache = jax.lax.dynamic_update_slice_in_dim(
-        v_cache, v_t[:, None].astype(v_cache.dtype), t, axis=1)
+        v_cache, _to_kv(v_t[:, None], v_cache.dtype), t, axis=1)
     b_cache = jax.lax.dynamic_update_slice_in_dim(
         b_cache, bucket_t[:, :, :, None], t, axis=3)
 
@@ -236,9 +246,9 @@ def _self_attn_step_lsh_chunk(p, h_t, k_cache, v_cache, ring, rotations, t,
     bucket_t = jnp.argmax(rotated, axis=-1).astype(jnp.int32)  # (B, H, nh)
 
     k_cache = jax.lax.dynamic_update_slice_in_dim(
-        k_cache, k_t[:, None].astype(k_cache.dtype), t, axis=1)
+        k_cache, _to_kv(k_t[:, None], k_cache.dtype), t, axis=1)
     v_cache = jax.lax.dynamic_update_slice_in_dim(
-        v_cache, v_t[:, None].astype(v_cache.dtype), t, axis=1)
+        v_cache, _to_kv(v_t[:, None], v_cache.dtype), t, axis=1)
 
     idx, cnt = ring["idx"], ring["cnt"]
     b, h, nh, nb, cap = idx.shape
@@ -262,8 +272,12 @@ def _self_attn_step_lsh_chunk(p, h_t, k_cache, v_cache, ring, rotations, t,
     self_col = jnp.full(scores.shape[:-1] + (1,), SELF_MASK_VALUE,
                         jnp.float32)
     scores = jnp.concatenate([scores, self_col], axis=-1)       # (B,H,nh,C+1)
+    # self column goes through the storage-dtype roundtrip so the chunk
+    # mode stays bit-identical to kv_lsh (which reads self back from the
+    # quantized cache) when no bucket overflows the ring
+    v_self = _to_kv(v_t, v_cache.dtype).astype(cdt)
     vals = jnp.concatenate(
-        [v_g, jnp.broadcast_to(v_t[:, :, None, None, :], (b, h, nh, 1, d))],
+        [v_g, jnp.broadcast_to(v_self[:, :, None, None, :], (b, h, nh, 1, d))],
         axis=3)
     lse = jax.nn.logsumexp(scores, axis=-1)                     # (B,H,nh)
     probs = jnp.exp(scores - lse[..., None])
@@ -339,8 +353,8 @@ def _init_mem_kv(params, cfg: ReformerTTSConfig, memory, cdt):
         b, l, _ = h.shape
         k = dense(p["attn"]["w_k"], h, cdt).reshape(b, l, num_heads, -1)
         v = dense(p["attn"]["w_v"], h, cdt).reshape(b, l, num_heads, -1)
-        mem_k.append(k.astype(kdt))
-        mem_v.append(v.astype(kdt))
+        mem_k.append(_to_kv(k, kdt))
+        mem_v.append(_to_kv(v, kdt))
     return tuple(mem_k), tuple(mem_v)
 
 
@@ -486,8 +500,8 @@ def _self_attn_block_substep(p, h_t, k_cache, v_cache, flight_k, flight_v,
     k_t = _len_norm(qk_t) if quant else _len_norm(qk_t) * (d ** -0.5)
     q_s = qk_t * (d ** -0.5) if quant else qk_t
     # storage-dtype roundtrip so values equal what a cache read-back gives
-    k_store = k_t.astype(k_cache.dtype)
-    v_store = v_t.astype(v_cache.dtype)
+    k_store = _to_kv(k_t, k_cache.dtype)
+    v_store = _to_kv(v_t, v_cache.dtype)
 
     j = len(flight_k)                       # position within the trip
     trip_start = t - j
@@ -523,7 +537,13 @@ def _make_block_step_fn(params, cfg: ReformerTTSConfig, mem_k, mem_v,
     dynamic_update_slice per trip — preserving XLA's in-place buffer
     aliasing (the naive k-steps-per-trip unroll copies the caches every
     extra step) while amortizing the measured ~55 µs fixed per-trip cost
-    k-fold (BENCH.md "Decode-loop unrolling")."""
+    k-fold (BENCH.md "Decode-loop unrolling").
+
+    MIRROR WARNING: this body re-implements the eager recurrence of
+    _make_step_fn/_decoder_step with the self-attn write deferred; any
+    change to the eager step (prenet/posenc/stop semantics, live gating,
+    layer kinds) must be mirrored here — the unroll>1 parity test
+    (test_unroll_block_matches_eager_kv_full) is the tripwire."""
     cdt = _dtype(cfg.compute_dtype)
     pos_table, pos_alpha = _pos_table(params, cfg)
     r = cfg.reduction_factor
@@ -725,6 +745,16 @@ def _decode_rotations(cfg: ReformerTTSConfig, rng, max_frames: int):
     return rots, nb
 
 
+def _auto_staged(n_groups: int) -> bool:
+    """The staged="auto" rule, shared with the bench FLOPs model
+    (rtts/bench.py::_decode_flops) so the modeled stage schedule always
+    matches the executed one.  Evidence threshold (BENCH.md staged
+    sweep, pre-cast bf16 weights): staging wins +15-44% at every
+    measured shape from 256 groups up (b8x256..b32x1024) except b32x512
+    (-1.8%, noise)."""
+    return n_groups >= 256
+
+
 def _auto_mode(cfg: ReformerTTSConfig, max_frames: int) -> str:
     """Pick the serving cache by measured cost model.
 
@@ -826,12 +856,9 @@ def decode_greedy(
     a = cfg.decoder.attention
     n_groups = max_frames // cfg.reduction_factor
     if staged == "auto":
-        # evidence threshold (BENCH.md staged sweep, pre-cast bf16
-        # weights): staging wins +15-44% at every measured shape from 256
-        # groups up (b8x256..b32x1024) except b32x512 (-1.8%, noise);
         # kv_lsh_chunk's per-step gather is O(C), so staging only trims
         # its linear mel/stop/k/v writes (still wins at 8k, measured)
-        staged = n_groups >= 256
+        staged = _auto_staged(n_groups)
     sizes = _stage_sizes(n_groups, stage_min) if staged else (n_groups,)
     # snap unroll to a divisor of the first stage's step count (later
     # stages are power-of-two multiples of it, so it divides those too)

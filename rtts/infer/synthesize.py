@@ -30,7 +30,8 @@ class Synthesizer:
         LSH decoders when the prefix dwarfs the ring working set (1.78x
         at 8k frames; best cached fidelity on trained checkpoints), else
         kv_full (PARITY.md "Serving parity", BENCH.md).  ``unroll`` runs
-        k decoder steps per while_loop trip (output-identical; see
+        k decoder steps per while_loop trip (block decoding for kv_full:
+        same score values, refusion-class output differences; see
         decode_greedy).  Default 1: on the tunneled v5e even the
         aliasing-preserving block scheme is a mild measured LOSS
         (BENCH.md), left available for directly-attached deployments.  ``staged`` grows the KV buffers
