@@ -35,3 +35,49 @@ def test_flagship_config_is_advertised_scale():
 def test_base_config_builds():
     cfg = base_bench_config()
     assert cfg.model.d_model == 256
+
+
+def test_staged_flops_affine_interpolation_is_exact():
+    """_decode_flops interpolates per-step FLOPs from the two extreme
+    stage sizes on the claim that per-step cost is affine in the cache
+    length (attention terms linear, rest constant).  Pin that claim:
+    the exact per-step cost at the MIDDLE stage size must land on the
+    line through the extremes."""
+    import dataclasses
+
+    from rtts.bench import _build, _compiled_flops
+    from rtts.infer.decode import (
+        _init_mem_kv,
+        _init_state,
+        _make_step_fn,
+        _dtype,
+    )
+
+    cfg = base_bench_config()
+    m = cfg.model
+    mk = lambda s: dataclasses.replace(
+        s, num_layers=2, d_model=64, d_ff=128,
+        attention=dataclasses.replace(s.attention, num_heads=2,
+                                      head_dim=32, chunk_length=16,
+                                      num_hashes=2))
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        m, d_model=64, dec_prenet_hidden=32, postnet_channels=32,
+        encoder=mk(m.encoder), decoder=mk(m.decoder),
+        compute_dtype="float32"))
+    params = _build(cfg)
+    mcfg = cfg.model
+    cdt = _dtype(mcfg.compute_dtype)
+    memory = jnp.zeros((2, 16, mcfg.d_model), cdt)
+    mem_k, mem_v = _init_mem_kv(params, mcfg, memory, cdt)
+    step = _make_step_fn(params, mcfg, mem_k, mem_v,
+                         jnp.ones((2, 16), bool), jax.random.PRNGKey(0),
+                         2.0)
+
+    def f_at(size):
+        return _compiled_flops(step, _init_state(params, mcfg, 2, size))
+
+    f64, f128, f256 = f_at(64), f_at(128), f_at(256)
+    assert f64 is not None and f128 is not None and f256 is not None
+    slope = (f256 - f64) / (256 - 64)
+    predicted_mid = f64 + slope * (128 - 64)
+    assert abs(predicted_mid - f128) <= 1e-6 * f128, (predicted_mid, f128)
