@@ -358,6 +358,36 @@ def _init_mem_kv(params, cfg: ReformerTTSConfig, memory, cdt):
     return tuple(mem_k), tuple(mem_v)
 
 
+def _stack_substep(params, cfg: ReformerTTSConfig, x_t, cdt,
+                   self_attn_fn, cross_fn):
+    """Two-stream recurrence over decoder layers for ONE frame — the
+    single implementation shared by the eager step (_decoder_step) and
+    block decoding (_make_block_step_fn), parameterized by how
+    self-attention is applied:
+
+        self_attn_fn(ci, attn_params, hh) -> out
+        cross_fn(xi, attn_params, hh) -> out
+
+    (hh is the pre-LN'd stream; the callbacks own cache side effects.)"""
+    dcfg = cfg.decoder
+    layers = params["decoder"]["layers"]
+    h1 = h2 = x_t
+    ci = 0  # self-attn cache index
+    xi = 0  # cross layer index
+    for li, lp in enumerate(layers):
+        hh = layer_norm(lp["f"]["ln"], h2)
+        if li % 2 == 1:
+            out = cross_fn(xi, lp["f"]["attn"], hh)
+            xi += 1
+        else:
+            out = self_attn_fn(ci, lp["f"]["attn"], hh)
+            ci += 1
+        h1 = h1 + out
+        h2 = h2 + _ffn_step(lp["g"], h1, dcfg.ffn_activation, cdt)
+    y = (h1 + h2) * 0.5
+    return layer_norm(params["decoder"]["final_ln"], y)
+
+
 def _decoder_step(params, cfg: ReformerTTSConfig, x_t, state: DecodeState,
                   mem_k, mem_v, memory_mask, cdt, rotations=None,
                   num_buckets=0):
@@ -365,45 +395,32 @@ def _decoder_step(params, cfg: ReformerTTSConfig, x_t, state: DecodeState,
 
     x_t: (B, D) post-prenet+posenc frame.  ``rotations`` non-None selects
     the LSH bucket-cache attention.  Returns (out (B,D), new state caches)."""
-    dcfg = cfg.decoder
-    num_heads = dcfg.attention.num_heads
-    layers = params["decoder"]["layers"]
-    h1 = h2 = x_t
+    num_heads = cfg.decoder.attention.num_heads
     k_caches = list(state.k_caches)
     v_caches = list(state.v_caches)
     b_caches = list(state.b_caches)
-    ci = 0  # self-attn cache index
-    xi = 0  # cross layer index
-    for li, lp in enumerate(layers):
-        is_cross = (li % 2 == 1)
-        if not is_cross:
-            h = layer_norm(lp["f"]["ln"], h2)
-            if rotations is not None and isinstance(b_caches[ci], dict):
-                out, k_caches[ci], v_caches[ci], b_caches[ci] = \
-                    _self_attn_step_lsh_chunk(
-                        lp["f"]["attn"], h, k_caches[ci], v_caches[ci],
-                        b_caches[ci], rotations[ci], state.t, num_heads,
-                        cdt)
-            elif rotations is not None:
-                out, k_caches[ci], v_caches[ci], b_caches[ci] = \
-                    _self_attn_step_lsh(
-                        lp["f"]["attn"], h, k_caches[ci], v_caches[ci],
-                        b_caches[ci], rotations[ci], state.t, num_heads,
-                        cdt, num_buckets)
-            else:
-                out, k_caches[ci], v_caches[ci] = _self_attn_step(
-                    lp["f"]["attn"], h, k_caches[ci], v_caches[ci],
-                    state.t, num_heads, cdt)
-            ci += 1
+
+    def self_attn(ci, p, h):
+        if rotations is not None and isinstance(b_caches[ci], dict):
+            out, k_caches[ci], v_caches[ci], b_caches[ci] = \
+                _self_attn_step_lsh_chunk(
+                    p, h, k_caches[ci], v_caches[ci], b_caches[ci],
+                    rotations[ci], state.t, num_heads, cdt)
+        elif rotations is not None:
+            out, k_caches[ci], v_caches[ci], b_caches[ci] = \
+                _self_attn_step_lsh(
+                    p, h, k_caches[ci], v_caches[ci], b_caches[ci],
+                    rotations[ci], state.t, num_heads, cdt, num_buckets)
         else:
-            h = layer_norm(lp["f"]["ln"], h2)
-            out = _cross_attn_step(lp["f"]["attn"], h, mem_k[xi], mem_v[xi],
-                                   memory_mask, num_heads, cdt)
-            xi += 1
-        h1 = h1 + out
-        h2 = h2 + _ffn_step(lp["g"], h1, dcfg.ffn_activation, cdt)
-    y = (h1 + h2) * 0.5
-    y = layer_norm(params["decoder"]["final_ln"], y)
+            out, k_caches[ci], v_caches[ci] = _self_attn_step(
+                p, h, k_caches[ci], v_caches[ci], state.t, num_heads, cdt)
+        return out
+
+    def cross(xi, p, h):
+        return _cross_attn_step(p, h, mem_k[xi], mem_v[xi], memory_mask,
+                                num_heads, cdt)
+
+    y = _stack_substep(params, cfg, x_t, cdt, self_attn, cross)
     return y, tuple(k_caches), tuple(v_caches), tuple(b_caches)
 
 
@@ -539,18 +556,16 @@ def _make_block_step_fn(params, cfg: ReformerTTSConfig, mem_k, mem_v,
     extra step) while amortizing the measured ~55 µs fixed per-trip cost
     k-fold (BENCH.md "Decode-loop unrolling").
 
-    MIRROR WARNING: this body re-implements the eager recurrence of
-    _make_step_fn/_decoder_step with the self-attn write deferred; any
-    change to the eager step (prenet/posenc/stop semantics, live gating,
-    layer kinds) must be mirrored here — the unroll>1 parity test
-    (test_unroll_block_matches_eager_kv_full) is the tripwire."""
+    The layer recurrence is SHARED with the eager path (_stack_substep);
+    only the per-frame IO (prenet/posenc, mel/stop heads, live gating,
+    lengths) is restated here for the k-step structure — changes to that
+    logic in _make_step_fn must be mirrored, and the unroll>1 parity
+    test (test_unroll_block_matches_eager_kv_full) is the tripwire."""
     cdt = _dtype(cfg.compute_dtype)
     pos_table, pos_alpha = _pos_table(params, cfg)
     r = cfg.reduction_factor
     n_mels = cfg.n_mels
-    dcfg = cfg.decoder
-    num_heads = dcfg.attention.num_heads
-    layers = params["decoder"]["layers"]
+    num_heads = cfg.decoder.attention.num_heads
 
     def body(state: DecodeState) -> DecodeState:
         t0 = state.t
@@ -570,28 +585,19 @@ def _make_block_step_fn(params, cfg: ReformerTTSConfig, mem_k, mem_v,
             pe = jax.lax.dynamic_slice_in_dim(pos_table, t, 1, axis=0)[0]
             h = h + pos_alpha.astype(h.dtype) * pe.astype(h.dtype)
 
-            h1 = h2 = h
-            ci = 0
-            xi = 0
-            for li, lp in enumerate(layers):
-                hh = layer_norm(lp["f"]["ln"], h2)
-                if li % 2 == 1:
-                    out = _cross_attn_step(lp["f"]["attn"], hh, mem_k[xi],
-                                           mem_v[xi], memory_mask,
-                                           num_heads, cdt)
-                    xi += 1
-                else:
-                    out, k_e, v_e = _self_attn_block_substep(
-                        lp["f"]["attn"], hh, state.k_caches[ci],
-                        state.v_caches[ci], flight_k[ci], flight_v[ci],
-                        t, num_heads, cdt)
-                    flight_k[ci].append(k_e)
-                    flight_v[ci].append(v_e)
-                    ci += 1
-                h1 = h1 + out
-                h2 = h2 + _ffn_step(lp["g"], h1, dcfg.ffn_activation, cdt)
-            y = (h1 + h2) * 0.5
-            y = layer_norm(params["decoder"]["final_ln"], y)
+            def self_attn(ci, p, hh, _t=t):
+                out, k_e, v_e = _self_attn_block_substep(
+                    p, hh, state.k_caches[ci], state.v_caches[ci],
+                    flight_k[ci], flight_v[ci], _t, num_heads, cdt)
+                flight_k[ci].append(k_e)
+                flight_v[ci].append(v_e)
+                return out
+
+            def cross(xi, p, hh):
+                return _cross_attn_step(p, hh, mem_k[xi], mem_v[xi],
+                                        memory_mask, num_heads, cdt)
+
+            y = _stack_substep(params, cfg, h, cdt, self_attn, cross)
 
             group = dense(params["mel_head"], y, cdt).astype(jnp.float32)
             stop_logit = dense(params["stop_head"], y,
