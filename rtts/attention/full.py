@@ -25,7 +25,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from rtts.nn.layers import dense, dense_init
+from rtts.nn.layers import dense, dense_init, dropout
 
 MASK_VALUE = -1e9
 SELF_MASK_VALUE = -1e5
@@ -65,10 +65,14 @@ def full_attention(
     kv_mask: Optional[jnp.ndarray] = None,
     causal: bool = False,
     scale: Optional[float] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """Masked softmax attention on (B, H, L, d) tensors.
 
     Softmax runs in float32 (logsumexp-stable) regardless of input dtype.
+    ``dropout_rate`` > 0 (with a key) applies attention-probs dropout — the
+    reference lineage's attention regularizer (SURVEY.md §3.2 config row).
     """
     d = q.shape[-1]
     if scale is None:
@@ -82,6 +86,8 @@ def full_attention(
         ki = jnp.arange(lk)[None, :]
         logits = jnp.where(qi >= ki, logits, MASK_VALUE)
     probs = jax.nn.softmax(logits, axis=-1)
+    probs = dropout(dropout_rng, probs, dropout_rate,
+                    deterministic=dropout_rng is None)
     return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
 
 
@@ -92,12 +98,15 @@ def cross_attention(
     memory_mask: Optional[jnp.ndarray] = None,
     num_heads: int = 8,
     compute_dtype=None,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """Standard decoder->encoder attention: x (B,Lq,D), memory (B,Lk,D)."""
     q = _split_heads(dense(params["w_q"], x, compute_dtype), num_heads)
     k = _split_heads(dense(params["w_k"], memory, compute_dtype), num_heads)
     v = _split_heads(dense(params["w_v"], memory, compute_dtype), num_heads)
-    out = full_attention(q, k, v, kv_mask=memory_mask, causal=False)
+    out = full_attention(q, k, v, kv_mask=memory_mask, causal=False,
+                         dropout_rate=dropout_rate, dropout_rng=dropout_rng)
     return dense(params["w_o"], _merge_heads(out), compute_dtype)
 
 
@@ -145,10 +154,13 @@ def shared_qk_self_attention(
     causal: bool = False,
     num_heads: int = 8,
     compute_dtype=None,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """Reformer full-softmax fallback self-attention (see module docstring).
 
-    x: (B, L, D); mask: (B, L) bool validity.
+    x: (B, L, D); mask: (B, L) bool validity.  ``dropout_rate``/``dropout_rng``
+    apply attention-probs dropout (identity when the key is None).
     """
     qk = _split_heads(dense(params["w_qk"], x, compute_dtype), num_heads)
     v = _split_heads(dense(params["w_v"], x, compute_dtype), num_heads)
@@ -167,5 +179,7 @@ def shared_qk_self_attention(
         causal=causal,
     )
     probs = jax.nn.softmax(scores, axis=-1)
+    probs = dropout(dropout_rng, probs, dropout_rate,
+                    deterministic=dropout_rng is None)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
     return dense(params["w_o"], _merge_heads(out), compute_dtype)

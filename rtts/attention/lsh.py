@@ -48,6 +48,7 @@ from rtts.attention.full import (
 )
 from rtts.config import AttentionConfig
 from rtts.nn.layers import dense
+from rtts.nn.layers import dropout as nn_dropout
 
 
 class LshCache(NamedTuple):
@@ -156,9 +157,18 @@ def lsh_attend_chunks(
     after: int,
     mask_value: float = MASK_VALUE,
     self_mask_value: float = SELF_MASK_VALUE,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-chunk attend with neighbor lookback.
-    Returns (out (B,H,nc,c,d), logsumexp (B,H,nc,c))."""
+    Returns (out (B,H,nc,c,d), logsumexp (B,H,nc,c)).
+
+    ``dropout_rate``/``dropout_rng``: attention-probs dropout applied after
+    the per-chunk softmax (reference lineage's LSHAttention dropout,
+    SURVEY.md §3.2 config row).  The returned logsumexp is of the UNdropped
+    distribution — the multi-round combine weights stay deterministic, only
+    the per-round value mixtures are regularized (matching the torch lineage,
+    which also drops probs after computing the round logits)."""
     k_adj = _look_adjacent(k, before, after)
     v_adj = _look_adjacent(v, before, after)
     k_pos = _look_adjacent(q_pos[..., None], before, after)[..., 0]
@@ -174,6 +184,8 @@ def lsh_attend_chunks(
 
     lse = jax.nn.logsumexp(scores, axis=-1)                      # (B,H,nc,c)
     probs = jnp.exp(scores - lse[..., None])
+    probs = nn_dropout(dropout_rng, probs, dropout_rate,
+                       deterministic=dropout_rng is None)
     out = jnp.einsum("bhnqk,bhnkd->bhnqd", probs.astype(v_adj.dtype), v_adj)
     return out, lse
 
@@ -201,17 +213,28 @@ def lsh_attention_core(
     rng: jax.Array,
     buckets: Optional[jnp.ndarray] = None,   # cached (B,H,nh,L)
     attend_fn=None,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full LSH pipeline on projected heads. Returns (out (B,H,L,d), buckets).
 
     ``attend_fn`` is the chunk-attend stage — swapped for the Pallas kernel
     in the fused path; everything else (hash/sort/unsort/combine) is shared.
+    ``dropout_rng`` (with cfg.attention_dropout > 0) enables attention-probs
+    dropout; the Pallas kernel has no dropout support, so an active dropout
+    forces the jnp attend stage (training-only — serving is deterministic).
     """
     b, h, l, d = qk.shape
     c = cfg.chunk_length
     nh = cfg.num_hashes
+    drop_active = dropout_rng is not None and cfg.attention_dropout > 0.0
     if attend_fn is None:
-        attend_fn = _pick_attend_fn(cfg)
+        attend_fn = lsh_attend_chunks if drop_active else _pick_attend_fn(cfg)
+    if drop_active:
+        import functools
+
+        attend_fn = functools.partial(
+            attend_fn, dropout_rate=cfg.attention_dropout,
+            dropout_rng=dropout_rng)
     if l % c != 0:
         raise ValueError(f"seq len {l} not a multiple of chunk {c} (autopad upstream)")
     nb = cfg.num_buckets or auto_num_buckets(l, c)
@@ -275,24 +298,38 @@ def lsh_self_attention(
     rng: Optional[jax.Array],
     compute_dtype=None,
     cache: Optional[LshCache] = None,
+    deterministic: bool = True,
 ) -> Tuple[jnp.ndarray, LshCache]:
-    """Reformer LSH self-attention sublayer. Returns (out (B,L,D), cache)."""
+    """Reformer LSH self-attention sublayer. Returns (out (B,L,D), cache).
+
+    ``deterministic=False`` with ``cfg.attention_dropout > 0`` applies
+    attention-probs dropout; the dropout key derives from the CALLER's rng
+    (not the hash_seed override), so a fixed hash_seed keeps hashing
+    deterministic while dropout still varies per step — and the reversible
+    backward, which replays with the same aux rng, reproduces the exact mask.
+    """
     l = x.shape[1]
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    drop_rng = (jax.random.fold_in(rng, 7)
+                if (not deterministic and cfg.attention_dropout > 0.0)
+                else None)
     if l <= cfg.chunk_length:
         # reference fallback: full softmax attention for short sequences
         out = shared_qk_self_attention(params, x, mask=mask, causal=causal,
                                        num_heads=cfg.num_heads,
-                                       compute_dtype=compute_dtype)
+                                       compute_dtype=compute_dtype,
+                                       dropout_rate=cfg.attention_dropout,
+                                       dropout_rng=drop_rng)
         return out, LshCache(buckets=jnp.zeros((0,), jnp.int32))
 
-    if rng is None:
-        rng = jax.random.PRNGKey(0)
     if cfg.hash_seed is not None:
         rng = jax.random.PRNGKey(cfg.hash_seed)
 
     qk = _split_heads(dense(params["w_qk"], x, compute_dtype), cfg.num_heads)
     v = _split_heads(dense(params["w_v"], x, compute_dtype), cfg.num_heads)
     buckets = cache.buckets if cache is not None else None
-    out, buckets = lsh_attention_core(qk, v, cfg, mask, causal, rng, buckets)
+    out, buckets = lsh_attention_core(qk, v, cfg, mask, causal, rng, buckets,
+                                      dropout_rng=drop_rng)
     out = dense(params["w_o"], _merge_heads(out), compute_dtype)
     return out, LshCache(buckets=buckets)

@@ -94,6 +94,11 @@ class AttentionConfig:
     num_chunks_before: int = 1
     num_chunks_after: int = 0
     hash_seed: Optional[int] = None   # fixed seed => deterministic LSH (tests)
+    # attention-probs dropout (the reference lineage's LSHAttention dropout):
+    # applied after the softmax in full/lsh/local self-attention and
+    # cross-attention when training (deterministic=False); keys derive from
+    # the per-layer aux rng, so the reversible backward replays the exact
+    # mask.  Not supported on the seq-parallel path (explicit error).
     attention_dropout: float = 0.0
     # mask penalty asymmetry (reference semantics): hard mask vs self-attend
     mask_value: float = -1e9

@@ -1,4 +1,5 @@
 from rtts.infer.decode import (
+    DecodeResult,
     decode_greedy,
     decode_greedy_recompute,
     decode_teacher_check,
@@ -7,6 +8,7 @@ from rtts.infer.streaming import StreamingSynthesizer
 from rtts.infer.synthesize import synthesize, Synthesizer
 
 __all__ = [
+    "DecodeResult",
     "decode_greedy",
     "decode_greedy_recompute",
     "decode_teacher_check",

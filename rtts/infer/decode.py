@@ -339,6 +339,15 @@ class DecodeState(NamedTuple):
     b_caches: Any                  # tuple of bucket caches (LSH mode) or ()
 
 
+class DecodeResult(NamedTuple):
+    """Uniform return contract for every greedy decode entry point
+    (VERDICT r2 item 9: one signature across serving and faithful modes)."""
+
+    mel_post: jnp.ndarray          # (B, T_max, n_mels) float32, length-masked
+    lengths: jnp.ndarray           # (B,) int32 — first-stop frame counts
+    stop_logits: jnp.ndarray       # (B, T_max) float32
+
+
 def _init_mem_kv(params, cfg: ReformerTTSConfig, memory, cdt):
     """Precompute cross-attention K/V per decoder cross layer (stored in
     cfg.kv_cache_dtype — f8 halves the per-step cross-attention read)."""
@@ -794,8 +803,8 @@ def decode_greedy(
     unroll: int = 1,
     staged="auto",
     stage_min: int = 128,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Greedy AR decode -> (mel_post (B,T_max,n_mels), lengths (B,), stop_logits).
+) -> "DecodeResult":
+    """Greedy AR decode -> DecodeResult(mel_post (B,T_max,n_mels), lengths (B,), stop_logits).
 
     mode: "kv_full"      — full-attention KV cache (standard serving)
           "kv_lsh"       — LSH bucket-mask attention over the whole prefix
@@ -903,7 +912,7 @@ def decode_greedy(
     mel_post = state.mel + residual
     frame_mask = jnp.arange(max_frames)[None, :] < state.lengths[:, None]
     mel_post = mel_post * frame_mask[..., None]
-    return mel_post, state.lengths, state.stop_logits
+    return DecodeResult(mel_post, state.lengths, state.stop_logits)
 
 
 def decode_greedy_recompute(
@@ -914,12 +923,15 @@ def decode_greedy_recompute(
     max_frames: int,
     rng: Optional[jax.Array] = None,
     stop_threshold: Optional[float] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> "DecodeResult":
     """Reference-faithful AR loop: re-runs the FULL decoder stack on the
     padded prefix every step (the reference's TTS loop has no LSH KV-cache —
     SURVEY.md §4.3), so it works with any self-attention kind including LSH
     with its exact bucketed pattern.  O(T^2) in decoder passes; use
     ``decode_greedy`` (incremental KV cache) for serving throughput.
+
+    Returns the same ``DecodeResult`` as decode_greedy — callers can A/B the
+    faithful mode against serving modes element-for-element.
 
     max_frames must be a multiple of the decoder LSH chunk length.
     """
@@ -933,7 +945,7 @@ def decode_greedy_recompute(
     cdt = _dtype(cfg.compute_dtype)
 
     def step(carry):
-        t, done, lengths, mel = carry
+        t, done, lengths, mel, stop_buf = carry
         mel_in = jnp.concatenate(
             [jnp.zeros_like(mel[:, :1]), mel[:, :-1]], axis=1)
         mel_mask = jnp.arange(max_frames)[None, :] <= t
@@ -945,23 +957,26 @@ def decode_greedy_recompute(
         stop_t = jax.lax.dynamic_slice_in_dim(stop_logits, t, 1, axis=1)[:, 0]
         mel = jax.lax.dynamic_update_slice_in_dim(mel, frame[:, None], t,
                                                   axis=1)
+        stop_buf = jax.lax.dynamic_update_slice_in_dim(
+            stop_buf, stop_t.astype(jnp.float32)[:, None], t, axis=1)
         newly_done = jax.nn.sigmoid(stop_t) > stop_threshold
         lengths = jnp.where(done, lengths, t + 1)
-        return t + 1, done | newly_done, lengths, mel
+        return t + 1, done | newly_done, lengths, mel, stop_buf
 
     def cond(carry):
-        t, done, _, _ = carry
+        t, done = carry[0], carry[1]
         return (t < max_frames) & ~jnp.all(done)
 
     carry = (jnp.asarray(0, jnp.int32), jnp.zeros((batch,), bool),
              jnp.full((batch,), max_frames, jnp.int32),
-             jnp.zeros((batch, max_frames, cfg.n_mels), jnp.float32))
-    t, done, lengths, mel = jax.lax.while_loop(cond, step, carry)
+             jnp.zeros((batch, max_frames, cfg.n_mels), jnp.float32),
+             jnp.zeros((batch, max_frames), jnp.float32))
+    t, done, lengths, mel, stop_buf = jax.lax.while_loop(cond, step, carry)
     residual = postnet_apply(params["postnet"], cfg, mel.astype(cdt),
                              None, True, cdt).astype(jnp.float32)
     mel_post = mel + residual
     frame_mask = jnp.arange(max_frames)[None, :] < lengths[:, None]
-    return mel_post * frame_mask[..., None], lengths, mel
+    return DecodeResult(mel_post * frame_mask[..., None], lengths, stop_buf)
 
 
 def decode_teacher_check(

@@ -71,6 +71,13 @@ class StreamingSynthesizer:
         # stream() call and segment (see decode._precast_weights)
         self.tts_params = _precast_weights(
             tts_params, _dtype(cfg.model.compute_dtype))
+        # fold at load (see Synthesizer): _infer_chunk duck-types on the
+        # param structure, so unfolded params would invert 1x1s on-device
+        # per chunk regardless of its folded=True flag
+        if vocoder_params is not None:
+            from rtts.models.squeezewave import ensure_folded
+
+            vocoder_params = ensure_folded(vocoder_params)
         self.vocoder_params = vocoder_params
         self.max_frames = max_frames
         mcfg = cfg.model

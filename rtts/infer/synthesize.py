@@ -45,6 +45,13 @@ class Synthesizer:
         # also amortize the cast across calls
         self.tts_params = _precast_weights(
             tts_params, _dtype(cfg.model.compute_dtype))
+        # fold weight-norm + precompute 1x1 inverses at LOAD: an unfolded
+        # checkpoint would otherwise silently pay an on-device matrix
+        # inverse per flow per call (SURVEY.md §8 hard-part 6)
+        if vocoder_params is not None:
+            from rtts.models.squeezewave import ensure_folded
+
+            vocoder_params = ensure_folded(vocoder_params)
         self.vocoder_params = vocoder_params
         self.max_frames = max_frames
         self.mode = mode
@@ -89,10 +96,11 @@ class Synthesizer:
             if streaming_chunk > 0:
                 audio = infer_streaming(self.vocoder_params, self.cfg.vocoder,
                                         jnp.asarray(mel)[None],
-                                        chunk_frames=streaming_chunk)[0]
+                                        chunk_frames=streaming_chunk,
+                                        folded=True)[0]
             else:
                 audio = sw_infer(self.vocoder_params, self.cfg.vocoder,
-                                 jnp.asarray(mel)[None])[0]
+                                 jnp.asarray(mel)[None], folded=True)[0]
             return np.asarray(audio)
         from rtts.audio.griffin import mel_to_audio as gl_mel_to_audio
 

@@ -107,6 +107,32 @@ def fold_weightnorm(params) -> Any:
     return fold(params)
 
 
+def is_folded(params) -> bool:
+    """True iff no weight-normed conv ({"v","g"}) and no 1x1 without its
+    precomputed inverse remains — i.e. inference never has to normalize or
+    invert on-device (SURVEY.md §8 hard-part 6)."""
+
+    def check(p) -> bool:
+        if isinstance(p, dict):
+            if "v" in p and "g" in p:
+                return False
+            if "w_1x1" in p and "w_1x1_inv" not in p:
+                return False
+            return all(check(v) for v in p.values())
+        if isinstance(p, list):
+            return all(check(v) for v in p)
+        return True
+
+    return check(params)
+
+
+def ensure_folded(params) -> Any:
+    """Fold at load: identity for already-folded checkpoints.  Serving
+    surfaces call this so an unfolded checkpoint never pays the per-call
+    on-device ``jnp.linalg.inv`` fallback in ``_infer_chunk``."""
+    return params if is_folded(params) else fold_weightnorm(params)
+
+
 # ---------------------------------------------------------------------------
 # init
 # ---------------------------------------------------------------------------

@@ -34,14 +34,24 @@ from rtts.reversible.rev import reversible_sequence
 def _self_attention(kind: str, params, x, mask, causal, cfg: ReformerStackConfig,
                     rng, deterministic, compute_dtype, cache):
     a = cfg.attention
+    drop_rng = (jax.random.fold_in(rng, 7)
+                if (rng is not None and not deterministic
+                    and a.attention_dropout > 0.0)
+                else None)
     if kind == "full":
         out = shared_qk_self_attention(
             params, x, mask=mask, causal=causal,
             num_heads=a.num_heads, compute_dtype=compute_dtype,
+            dropout_rate=a.attention_dropout, dropout_rng=drop_rng,
         )
         return out, None
     if kind == "lsh":
         if cfg.seq_parallel_axis and x.shape[1] > a.chunk_length:
+            if drop_rng is not None:
+                raise NotImplementedError(
+                    "attention_dropout > 0 is not supported on the "
+                    "sequence-parallel LSH path; set attention_dropout: 0 "
+                    "or seq_parallel_axis: null")
             # distributed sequence axis: same hash draw as the single-device
             # path => identical output (tested); hash recompute in the
             # reversible backward is deterministic, so no bucket cache
@@ -60,13 +70,15 @@ def _self_attention(kind: str, params, x, mask, causal, cfg: ReformerStackConfig
         return lsh_self_attention(
             params, x, mask=mask, causal=causal, cfg=a,
             rng=rng, compute_dtype=compute_dtype, cache=cache,
+            deterministic=deterministic,
         )
     if kind == "local":
         from rtts.attention.local import local_self_attention
 
         out = local_self_attention(
             params, x, mask=mask, causal=causal, cfg=a,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, rng=rng,
+            deterministic=deterministic,
         )
         return out, None
     raise ValueError(f"unknown attention kind {kind!r}")
@@ -101,9 +113,13 @@ def make_stack_layer_fns(
 
     def f_cross(params, x, memory, aux, cache):
         h = layer_norm(params["ln"], x)
+        drop_rng = (jax.random.fold_in(aux["rng_f"], 7)
+                    if (not deterministic and a.attention_dropout > 0.0)
+                    else None)
         out = cross_attention(
             params["attn"], h, memory, memory_mask=aux["memory_mask"],
             num_heads=a.num_heads, compute_dtype=compute_dtype,
+            dropout_rate=a.attention_dropout, dropout_rng=drop_rng,
         )
         out = dropout(jax.random.fold_in(aux["rng_f"], 1), out, cfg.dropout,
                       deterministic)

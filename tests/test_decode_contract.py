@@ -1,0 +1,115 @@
+"""Decode return-contract unification + vocoder fold-at-load
+(VERDICT r2 item 9 / weak item 8).
+
+- ``decode_greedy`` and ``decode_greedy_recompute`` return the same
+  ``DecodeResult(mel_post, lengths, stop_logits)`` named tuple, so A/B-ing
+  the faithful mode against serving modes is element-for-element.
+- Serving surfaces fold SqueezeWave weight-norm + precompute 1x1 inverses
+  at LOAD: an unfolded checkpoint must never pay an on-device
+  ``jnp.linalg.inv`` per flow per call (SURVEY.md §8 hard-part 6).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtts.config import Config, from_dict, to_dict
+from rtts.infer.decode import DecodeResult, decode_greedy, decode_greedy_recompute
+from rtts.infer.synthesize import Synthesizer
+from rtts.models import reformer_tts as M
+from rtts.models import squeezewave as SW
+
+from tests.test_model_m1 import tiny_cfg
+from tests.test_squeezewave import small_cfg
+
+
+def _memory(cfg, B=2, L=16):
+    params = M.init(jax.random.PRNGKey(0), cfg)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (B, L), 3, 40)
+    tmask = jnp.ones((B, L), bool)
+    memory = M.encode(params, cfg, tokens, tmask, rng=None, deterministic=True)
+    return params, memory, tmask
+
+
+def test_both_decoders_return_decode_result():
+    cfg = tiny_cfg()
+    params, memory, tmask = _memory(cfg)
+    r_inc = decode_greedy(params, cfg, memory, tmask, max_frames=16,
+                          stop_threshold=2.0)
+    r_rec = decode_greedy_recompute(params, cfg, memory, tmask, max_frames=16,
+                                    stop_threshold=2.0)
+    for r in (r_inc, r_rec):
+        assert isinstance(r, DecodeResult)
+        assert r.mel_post.shape == (2, 16, cfg.n_mels)
+        assert r.lengths.shape == (2,)
+        assert r.stop_logits.shape == (2, 16)
+        assert np.isfinite(np.asarray(r.stop_logits)).all()
+
+
+def test_recompute_stop_logits_match_incremental_for_full_attention():
+    """For full attention the incremental cache is exact, so the recompute
+    loop must produce the same stop-logit trajectory."""
+    cfg = tiny_cfg()
+    params, memory, tmask = _memory(cfg)
+    r_inc = jax.jit(lambda p, m, mm: decode_greedy(
+        p, cfg, m, mm, max_frames=16, stop_threshold=2.0,
+        staged=False))(params, memory, tmask)
+    r_rec = jax.jit(lambda p, m, mm: decode_greedy_recompute(
+        p, cfg, m, mm, max_frames=16, stop_threshold=2.0))(
+            params, memory, tmask)
+    np.testing.assert_array_equal(np.asarray(r_inc.lengths),
+                                  np.asarray(r_rec.lengths))
+    np.testing.assert_allclose(np.asarray(r_inc.stop_logits),
+                               np.asarray(r_rec.stop_logits),
+                               atol=2e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# vocoder fold-at-load
+# ---------------------------------------------------------------------------
+
+
+def _tts_and_vocoder():
+    model_cfg = tiny_cfg(d=32)
+    vcfg = small_cfg(n_mels=model_cfg.n_mels)
+    cfg = from_dict(Config, {
+        "model": to_dict(model_cfg),
+        "vocoder": to_dict(vcfg),
+        "dataset": {"audio": {"n_mels": model_cfg.n_mels}},
+    })
+    tts_params = M.init(jax.random.PRNGKey(0), cfg.model)
+    voc_params = SW.init(jax.random.PRNGKey(1), cfg.vocoder)
+    return cfg, tts_params, voc_params
+
+
+def test_is_folded_detects_both_states():
+    _, _, voc = _tts_and_vocoder()
+    assert not SW.is_folded(voc)
+    folded = SW.fold_weightnorm(voc)
+    assert SW.is_folded(folded)
+    # idempotent and cheap for already-folded checkpoints
+    assert SW.ensure_folded(folded) is folded
+
+
+def test_synthesizer_folds_vocoder_at_load():
+    cfg, tts_params, voc_params = _tts_and_vocoder()
+    syn = Synthesizer(cfg, tts_params, vocoder_params=voc_params,
+                      max_frames=16)
+    assert SW.is_folded(syn.vocoder_params)
+
+    # output equals a direct folded infer on the same mel
+    mel = np.asarray(jax.random.normal(jax.random.PRNGKey(3),
+                                       (8, cfg.vocoder.n_mels)))
+    audio = syn.mel_to_audio(mel)
+    ref = SW.infer(SW.fold_weightnorm(voc_params), cfg.vocoder,
+                   jnp.asarray(mel)[None], folded=True)[0]
+    np.testing.assert_allclose(audio, np.asarray(ref), atol=1e-5, rtol=1e-4)
+
+
+def test_streaming_synthesizer_folds_vocoder_at_load():
+    from rtts.infer.streaming import StreamingSynthesizer
+
+    cfg, tts_params, voc_params = _tts_and_vocoder()
+    ss = StreamingSynthesizer(cfg, tts_params, vocoder_params=voc_params,
+                              max_frames=16)
+    assert SW.is_folded(ss.vocoder_params)
