@@ -82,7 +82,13 @@ class AttentionConfig:
     tensors become pure HBM traffic, and is what makes 8k-frame training
     fit on one chip together with reversible residuals."""
 
-    kind: str = "lsh"                 # "full" | "lsh" | "local"
+    # "full" | "lsh" | "local" | "auto".  "auto" resolves per apply by
+    # sequence length: full softmax at L <= auto_full_max_len, LSH above —
+    # encoding the measured v5e crossover (BENCH.md length sweep: full is
+    # 1.9-4.1x faster up to 4k frames; LSH 6.7x faster at 8k).  Resolution
+    # is static (shapes are static under jit), so each bucketed length
+    # compiles its best kernel; decode resolves at max_frames.
+    kind: str = "lsh"
     num_heads: int = 8
     head_dim: int = 64
     num_hashes: int = 4
@@ -94,6 +100,11 @@ class AttentionConfig:
     num_chunks_before: int = 1
     num_chunks_after: int = 0
     hash_seed: Optional[int] = None   # fixed seed => deterministic LSH (tests)
+    # kind="auto" crossover: longest sequence that still uses full softmax.
+    # 4096 is the measured v5e boundary (full 1.9x faster at 4k, LSH 6.7x
+    # at 8k — BENCH.md "Training attention"); lower it on memory-tight
+    # configs (full attention's transient (B,H,L,L) f32 scores).
+    auto_full_max_len: int = 4096
     # attention-probs dropout (the reference lineage's LSHAttention dropout):
     # applied after the softmax in full/lsh/local self-attention and
     # cross-attention when training (deterministic=False); keys derive from
@@ -283,6 +294,18 @@ class Config:
     model: ReformerTTSConfig = field(default_factory=ReformerTTSConfig)
     vocoder: SqueezeWaveConfig = field(default_factory=SqueezeWaveConfig)
     experiment: ExperimentConfig = field(default_factory=ExperimentConfig)
+
+
+def resolve_attention_kind(a: "AttentionConfig", seq_len: int) -> str:
+    """Resolve kind="auto" for a given (static) sequence length.
+
+    The rule encodes the measured training crossover (BENCH.md): the MXU
+    makes O(L^2) full-softmax scores cheaper than LSH's sort/gather
+    machinery up to ~4k positions on v5e; past that the (B,H,L,L) score
+    traffic collapses and LSH's O(L log L) wins outright."""
+    if a.kind != "auto":
+        return a.kind
+    return "full" if seq_len <= a.auto_full_max_len else "lsh"
 
 
 # ---------------------------------------------------------------------------

@@ -779,10 +779,12 @@ def _auto_mode(cfg: ReformerTTSConfig, max_frames: int) -> str:
     cache is ~8x SLOWER (nh*C == prefix, pure overhead), at 8k it is 1.78x
     faster — so choose it only when the prefix is much larger than the
     ring working set."""
+    from rtts.config import resolve_attention_kind
+
     a = cfg.decoder.attention
-    if a.kind != "lsh":
-        return "kv_full"
     n_groups = max_frames // cfg.reduction_factor
+    if resolve_attention_kind(a, n_groups) != "lsh":
+        return "kv_full"
     ring_cap = min(
         a.chunk_length * (1 + a.num_chunks_before + a.num_chunks_after),
         n_groups)

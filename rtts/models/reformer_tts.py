@@ -110,7 +110,10 @@ def _pad_multiple(cfg_stack) -> int:
     import math
 
     a = cfg_stack.attention
-    m = a.chunk_length if a.kind in ("lsh", "local") else 1
+    # "auto" pads to the chunk multiple regardless of how it resolves:
+    # alignment is harmless for full attention and required if the length
+    # lands on the LSH side of the crossover
+    m = a.chunk_length if a.kind in ("lsh", "local", "auto") else 1
     if cfg_stack.ffn_chunk_size > 0:
         m = math.lcm(m, cfg_stack.ffn_chunk_size)
     return m

@@ -34,6 +34,10 @@ from rtts.reversible.rev import reversible_sequence
 def _self_attention(kind: str, params, x, mask, causal, cfg: ReformerStackConfig,
                     rng, deterministic, compute_dtype, cache):
     a = cfg.attention
+    if kind == "auto":
+        from rtts.config import resolve_attention_kind
+
+        kind = resolve_attention_kind(a, x.shape[1])
     drop_rng = (jax.random.fold_in(rng, 7)
                 if (rng is not None and not deterministic
                     and a.attention_dropout > 0.0)
@@ -156,7 +160,7 @@ def _layer_kinds(cfg: ReformerStackConfig) -> List[str]:
             f"attn_layers has {len(cfg.attn_layers)} entries for "
             f"{cfg.num_layers} layers")
     for k in cfg.attn_layers:
-        if k not in ("full", "lsh", "local"):
+        if k not in ("full", "lsh", "local", "auto"):
             raise ValueError(f"unknown attention kind {k!r} in attn_layers")
     return list(cfg.attn_layers)
 
