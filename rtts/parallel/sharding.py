@@ -14,7 +14,7 @@ from typing import Any
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from rtts.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from rtts.parallel.mesh import DATA_AXIS, DCN_AXIS, MODEL_AXIS
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -22,8 +22,13 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def batch_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
-    """Shard the leading (batch) axis over the data axis."""
-    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+    """Shard the leading (batch) axis over the data axis — and over the
+    outermost DCN axis too when the mesh has one (cross-slice data
+    parallelism: each slice sees its own batch shard; only the gradient
+    psum crosses DCN, SURVEY.md §6.8)."""
+    axes = tuple(a for a in (DCN_AXIS, DATA_AXIS) if a in mesh.axis_names)
+    batch_axes = axes if len(axes) > 1 else (axes[0] if axes else None)
+    return NamedSharding(mesh, P(batch_axes, *([None] * (ndim - 1))))
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
