@@ -339,6 +339,72 @@ def bench_e2e(cfg: Optional[Config] = None, batch: int = 8,
     }
 
 
+def bench_serving(cfg: Optional[Config] = None, repeats: int = 3,
+                  mode: str = "auto", staged="auto") -> Dict[str, Any]:
+    """Variable-length serving batching vs pad-to-max (VERDICT r2 item 5).
+
+    Workload: 4 buckets x 8 requests whose TRUE mel lengths are
+    128/256/512/1024 frames (stop_threshold 2.0 pins every request to its
+    budget, so the comparison isolates shape management).  Baseline decodes
+    all 32 padded to 1024; bucketed serving decodes each group at its own
+    max_frames through the same jit cache (Synthesizer.serve_to_mel's
+    strategy at the decode level).  Aggregate useful frames are identical;
+    the win is not spending decode steps past each request's length."""
+    from rtts.infer.decode import decode_greedy
+    from rtts.models import reformer_tts as M
+
+    cfg = cfg or base_bench_config()
+    params = _serving_params(cfg, _build(cfg))
+    budgets = [128, 256, 512, 1024]
+    per_bucket = 8
+    token_lens = {128: 64, 256: 64, 512: 64, 1024: 128}
+
+    def make_inputs(n, tl):
+        tokens = jax.random.randint(jax.random.PRNGKey(1), (n, tl),
+                                    3, cfg.model.vocab_size)
+        return tokens, jnp.ones((n, tl), bool)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("max_frames",))
+    def run(p, tok, msk, max_frames):
+        memory = M.encode(p, cfg.model, tok, msk, deterministic=True)
+        return decode_greedy(p, cfg.model, memory, msk,
+                             max_frames=max_frames, stop_threshold=2.0,
+                             mode=mode, staged=staged)
+
+    # warm every shape
+    bucket_inputs = {b: make_inputs(per_bucket, token_lens[b])
+                     for b in budgets}
+    base_inputs = make_inputs(per_bucket * len(budgets),
+                              max(token_lens.values()))
+    for b in budgets:
+        _sync(run(params, *bucket_inputs[b], max_frames=b))
+    _sync(run(params, *base_inputs, max_frames=max(budgets)))
+
+    useful_frames = per_bucket * sum(budgets)
+    t_serve, t_base = [], []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for b in budgets:
+            _sync(run(params, *bucket_inputs[b], max_frames=b))
+        t_serve.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _sync(run(params, *base_inputs, max_frames=max(budgets)))
+        t_base.append(time.perf_counter() - t0)
+    ts, tb = min(t_serve), min(t_base)
+    return {
+        "aggregate_frames_per_sec_bucketed": useful_frames / ts,
+        "aggregate_frames_per_sec_pad_to_max": useful_frames / tb,
+        "speedup": tb / ts,
+        "bucketed_seconds": ts,
+        "pad_to_max_seconds": tb,
+        "workload": {str(b): per_bucket for b in budgets},
+        "mode": mode,
+        "device": str(jax.devices()[0]),
+    }
+
+
 def bench_vocoder(cfg: Optional[Config] = None, batch: int = 8,
                   mel_frames: int = 512, repeats: int = 3) -> Dict[str, Any]:
     from rtts.models import squeezewave as SW
@@ -598,6 +664,12 @@ def run_bench(cfg: Optional[Config] = None, which: str = "e2e") -> str:
                 "value": round(r["frames_per_sec_train"], 2),
                 "vs_baseline": round(
                     r["frames_per_sec_train"] / _frame_rate(cfg), 4),
+                "detail": r}
+    elif which == "serving":
+        r = bench_serving(cfg)
+        line = {"metric": "serving_bucketed_vs_pad_to_max_speedup",
+                "value": round(r["speedup"], 4), "unit": "x",
+                "vs_baseline": round(r["speedup"], 4),
                 "detail": r}
     elif which == "kernels":
         r = bench_kernels()

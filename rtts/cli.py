@@ -173,7 +173,7 @@ def predict(cfg: Config, text, tts_ckpt, vocoder_ckpt, out_dir, max_frames,
 @cli.command()
 @click.option("--which", default="decode",
               type=click.Choice(["decode", "e2e", "vocoder", "train",
-                                 "longform", "kernels", "all"]))
+                                 "longform", "serving", "kernels", "all"]))
 @click.pass_obj
 def bench(cfg: Config, which):
     """Run the benchmark harness and print JSON line(s)."""
@@ -181,7 +181,8 @@ def bench(cfg: Config, which):
     from rtts.utils.profiling import enable_compilation_cache
 
     enable_compilation_cache()
-    modes = (["decode", "e2e", "vocoder", "train", "longform", "kernels"]
+    modes = (["decode", "e2e", "vocoder", "train", "longform", "serving",
+              "kernels"]
              if which == "all" else [which])
     for m in modes:
         click.echo(run_bench(cfg, m))

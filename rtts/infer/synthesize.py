@@ -114,6 +114,93 @@ class Synthesizer:
         mel, lengths = self.text_to_mel(texts, seed)
         return [self.mel_to_audio(mel[i], int(lengths[i])) for i in range(len(texts))]
 
+    # -- variable-length serving batching (SURVEY.md §4.3 serving loop) -----
+
+    def predict_frames(self, texts: Sequence[str],
+                       frames_per_token: float = 8.0,
+                       min_frames: int = 64) -> List[int]:
+        """Per-request mel-frame budgets from token counts.
+
+        The decode loop pads every request in a batch to the batch's
+        max_frames and runs until ALL rows stop, so mixed-length traffic
+        wastes decode steps on the longest request.  Budgets quantize to a
+        multiple of 64 (chunk/stage alignment) and of the reduction
+        factor; ``frames_per_token`` should slightly OVERestimate the
+        trained speech rate — underestimates are caught and escalated by
+        ``serve_to_mel``."""
+        import math
+
+        from rtts.text import token_lengths
+
+        tcfg = self.cfg.dataset.text
+        m = 64 * self.cfg.model.reduction_factor // math.gcd(
+            64, self.cfg.model.reduction_factor)
+        out = []
+        for n_tok in token_lengths(texts, cleaner=tcfg.cleaner,
+                                   level=tcfg.level):
+            b = max(min_frames, int(math.ceil(frames_per_token * n_tok)))
+            b = min(self.max_frames, -(-b // m) * m)
+            out.append(b)
+        return out
+
+    def serve_to_mel(self, texts: Sequence[str], seed: int = 0,
+                     frames_per_token: float = 8.0, min_frames: int = 64,
+                     escalate: bool = True
+                     ) -> Tuple[List[np.ndarray], List[int]]:
+        """Variable-length batched synthesis: bucket requests by predicted
+        mel length, decode each bucket at its own max_frames (compile cache
+        keyed on the bucket shape), escalate under-budgeted requests to the
+        full budget.  Returns per-request (mel (T_i, n_mels), length).
+
+        ``escalate=False`` accepts budget-truncated outputs (bench /
+        fixed-latency serving)."""
+        budgets = self.predict_frames(texts, frames_per_token, min_frames)
+        groups: dict = {}
+        for i, b in enumerate(budgets):
+            groups.setdefault(b, []).append(i)
+
+        mels: List[Optional[np.ndarray]] = [None] * len(texts)
+        lengths: List[int] = [0] * len(texts)
+        needs_full: List[int] = []
+        for budget, idxs in sorted(groups.items()):
+            mel, lens = self._decode_group([texts[i] for i in idxs], budget,
+                                           seed)
+            for j, i in enumerate(idxs):
+                li = int(lens[j])
+                # lengths == budget means the stop head never fired before
+                # the cap: the budget may have truncated the utterance
+                if escalate and li >= budget and budget < self.max_frames:
+                    needs_full.append(i)
+                else:
+                    mels[i] = mel[j, :li]
+                    lengths[i] = li
+        if needs_full:
+            mel, lens = self._decode_group([texts[i] for i in needs_full],
+                                           self.max_frames, seed)
+            for j, i in enumerate(needs_full):
+                li = int(lens[j])
+                mels[i] = mel[j, :li]
+                lengths[i] = li
+        return mels, lengths  # type: ignore[return-value]
+
+    def _decode_group(self, texts: Sequence[str], max_frames: int, seed: int):
+        tcfg = self.cfg.dataset.text
+        tokens, mask = encode_batch(texts, cleaner=tcfg.cleaner,
+                                    pad_to_multiple=tcfg.pad_to_multiple,
+                                    max_len=tcfg.max_len, level=tcfg.level)
+        mel, lens, _ = self._decode_jit(
+            self.tts_params, jnp.asarray(tokens), jnp.asarray(mask),
+            jax.random.PRNGKey(seed), max_frames=max_frames)
+        return np.asarray(mel), np.asarray(lens)
+
+    def serve(self, texts: Sequence[str], seed: int = 0,
+              frames_per_token: float = 8.0, min_frames: int = 64
+              ) -> List[np.ndarray]:
+        """Variable-length batched text->wav (see serve_to_mel)."""
+        mels, lengths = self.serve_to_mel(texts, seed, frames_per_token,
+                                          min_frames)
+        return [self.mel_to_audio(m) for m in mels]
+
 
 def synthesize(cfg: Config, tts_params, texts: Sequence[str],
                vocoder_params=None, max_frames: int = 1024, seed: int = 0,

@@ -1,6 +1,6 @@
 from rtts.text.symbols import SYMBOLS, PAD_ID, EOS_ID, symbol_to_id, vocab_size
 from rtts.text.cleaners import clean_text
-from rtts.text.tokenizer import text_to_ids, ids_to_text, encode_batch
+from rtts.text.tokenizer import text_to_ids, ids_to_text, encode_batch, token_lengths
 from rtts.text.phonemes import (
     PHONEME_SYMBOLS,
     phoneme_vocab_size,
@@ -23,6 +23,7 @@ __all__ = [
     "text_to_ids",
     "ids_to_text",
     "encode_batch",
+    "token_lengths",
     "PHONEME_SYMBOLS",
     "phoneme_vocab_size",
     "phonemes_to_ids",

@@ -42,6 +42,19 @@ def _round_up(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 
 
+def token_lengths(texts: Sequence[str], cleaner: str = "english",
+                  level: str = "char") -> List[int]:
+    """Unpadded (text+eos) token counts — the serving length predictor's
+    input (Synthesizer.serve buckets requests by these)."""
+    if level == "phoneme":
+        from rtts.text.g2p import text_to_phonemes
+        from rtts.text.phonemes import phonemes_to_ids
+
+        return [len(phonemes_to_ids(text_to_phonemes(t, cleaner)))
+                for t in texts]
+    return [len(text_to_ids(t, cleaner)) for t in texts]
+
+
 def encode_batch(
     texts: Sequence[str],
     cleaner: str = "english",

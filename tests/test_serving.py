@@ -1,0 +1,98 @@
+"""Variable-length serving batching (VERDICT r2 item 5; SURVEY.md §4.3).
+
+``Synthesizer.serve_to_mel`` buckets requests by predicted mel length and
+decodes each bucket at its own max_frames; under-budgeted requests
+escalate to the full budget.  The aggregate-throughput win is measured on
+TPU (`bench --which serving`); here: budget quantization, order
+preservation, escalation semantics, and equality with the pad-to-max path
+on a uniform workload.
+"""
+
+import dataclasses
+
+import jax
+import numpy as np
+
+from rtts.config import Config, from_dict, to_dict
+from rtts.infer.synthesize import Synthesizer
+from rtts.models import reformer_tts as M
+
+from tests.test_model_m1 import tiny_cfg
+
+
+def _cfg(stop_threshold=2.0, reduction_factor=1):
+    model_cfg = tiny_cfg(d=32)
+    model_cfg = dataclasses.replace(model_cfg, stop_threshold=stop_threshold,
+                                    reduction_factor=reduction_factor)
+    return from_dict(Config, {"model": to_dict(model_cfg),
+                              "dataset": {"audio": {"n_mels": 20}}})
+
+
+def _synth(cfg, max_frames=128):
+    params = M.init(jax.random.PRNGKey(0), cfg.model)
+    return Synthesizer(cfg, params, max_frames=max_frames)
+
+
+def test_predict_frames_quantization():
+    syn = _synth(_cfg(), max_frames=512)
+    texts = ["hi", "a much longer sentence that needs many more frames ok"]
+    budgets = syn.predict_frames(texts, frames_per_token=8.0, min_frames=64)
+    assert len(budgets) == 2
+    for b in budgets:
+        assert b % 64 == 0
+        assert 64 <= b <= 512
+    assert budgets[1] > budgets[0]
+
+    # reduction factor folds into the quantum
+    syn_r = _synth(_cfg(reduction_factor=3), max_frames=576)
+    for b in syn_r.predict_frames(texts):
+        assert b % 3 == 0 and b % 64 == 0
+
+
+def test_serve_to_mel_orders_and_trims():
+    syn = _synth(_cfg(), max_frames=128)
+    texts = ["aaaa", "a somewhat longer request here", "bb",
+             "the longest request in this tiny workload by far ok then"]
+    mels, lengths = syn.serve_to_mel(texts, frames_per_token=4.0,
+                                     min_frames=32, escalate=False)
+    assert len(mels) == len(texts)
+    for m, li in zip(mels, lengths):
+        assert m.shape == (li, syn.cfg.model.n_mels)
+        assert np.isfinite(m).all()
+
+
+def test_serve_escalates_truncated_requests():
+    """stop_threshold 2.0 => stop never fires => every request hits its
+    budget cap and (with escalate=True) re-decodes at max_frames."""
+    syn = _synth(_cfg(stop_threshold=2.0), max_frames=96)
+    texts = ["hi", "bb"]
+    mels, lengths = syn.serve_to_mel(texts, frames_per_token=2.0,
+                                     min_frames=32, escalate=True)
+    # escalated to the full budget
+    assert all(li == 96 for li in lengths)
+    # budgets quantize up to the 64-frame quantum
+    mels_f, lengths_f = syn.serve_to_mel(texts, frames_per_token=2.0,
+                                         min_frames=32, escalate=False)
+    assert all(li == 64 for li in lengths_f)
+
+
+def test_uniform_bucket_matches_pad_to_max():
+    """A single-bucket workload must produce exactly the plain batched
+    decode's output (same tokens, same max_frames, same jit)."""
+    syn = _synth(_cfg(stop_threshold=2.0), max_frames=64)
+    texts = ["same length a", "same length b"]
+    mels, lengths = syn.serve_to_mel(texts, frames_per_token=50.0,
+                                     min_frames=64, escalate=False)
+    ref_mel, ref_len = syn.text_to_mel(texts)
+    for i in range(len(texts)):
+        np.testing.assert_array_equal(lengths[i], ref_len[i])
+        np.testing.assert_array_equal(mels[i], ref_mel[i, :ref_len[i]])
+
+
+def test_serve_produces_waveforms():
+    syn = _synth(_cfg(), max_frames=64)
+    wavs = syn.serve(["one", "two longer text"], frames_per_token=4.0,
+                     min_frames=32)
+    assert len(wavs) == 2
+    for w in wavs:
+        assert w.ndim == 1 and len(w) > 0 and np.isfinite(w).all()
