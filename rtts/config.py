@@ -105,6 +105,15 @@ class AttentionConfig:
     # at 8k — BENCH.md "Training attention"); lower it on memory-tight
     # configs (full attention's transient (B,H,L,L) f32 scores).
     auto_full_max_len: int = 4096
+    # how the bucket sort permutes q/k/v rows (BENCH.md r3 "LSH gather"):
+    # "onehot" realizes the permutation as an MXU matmul against an
+    # iota-compare one-hot — 2.3x faster forward than take_along_axis on
+    # v5e and its backward is another matmul instead of a scatter-add
+    # (bit-exact: one matched element per row); "take" is the gather
+    # formulation (linear in L — wins when the one-hot would be huge);
+    # "auto" picks onehot while the per-round permutation matrix stays
+    # under ~1 GB.
+    sort_gather: str = "auto"
     # attention-probs dropout (the reference lineage's LSHAttention dropout):
     # applied after the softmax in full/lsh/local self-attention and
     # cross-attention when training (deterministic=False); keys derive from

@@ -1,0 +1,153 @@
+"""Decode-mode fidelity evaluation on a TRAINED checkpoint (PARITY.md
+"Serving parity" methodology, now a reusable script instead of a /tmp
+one-off — VERDICT r2 item 7).
+
+For each decode mode (faithful ``recompute`` + the cached serving modes)
+this reports masked mel-L1 against ground truth, mel-L1 against the
+faithful recompute trajectory, and stop-length deltas; ``--kv-dtype``
+re-runs the cached modes with the f8 KV cache for the fidelity-cost table.
+
+Usage:
+  python scripts/eval_decode_fidelity.py -c configs/parity_deep.yaml \
+      --ckpt runs/parity_deep/checkpoints [--batch 2] [--kv-dtype float8_e4m3fn]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import pathlib
+import sys
+
+REPO = str(pathlib.Path(__file__).resolve().parent.parent)
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-c", "--config", required=True)
+    ap.add_argument("-o", "--override", action="append", default=[])
+    ap.add_argument("--ckpt", required=True,
+                    help="checkpoint dir (latest step used) or step dir")
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--modes", default="recompute,kv_full,kv_lsh,kv_lsh_chunk")
+    ap.add_argument("--kv-dtype", default=None,
+                    help="re-run cached modes with this kv_cache_dtype too")
+    ap.add_argument("--stop-threshold", type=float, default=None)
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rtts.config import load_config
+    from rtts.data.dataset import Manifest, TextMelDataset, split_manifest
+    from rtts.infer.decode import decode_greedy, decode_greedy_recompute
+    from rtts.models import reformer_tts as M
+    from rtts.train.checkpoint import latest_checkpoint, restore_checkpoint
+    from rtts.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg = load_config(args.config, args.override)
+    if cfg.model.vocab_size <= 0:
+        from rtts.text import frontend_vocab_size
+
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model,
+            vocab_size=frontend_vocab_size(cfg.dataset.text.level)))
+
+    ckpt = pathlib.Path(args.ckpt)
+    if not (ckpt / "leaves.npz").exists():
+        latest = latest_checkpoint(ckpt)
+        if latest is None:
+            raise SystemExit(f"no checkpoint under {ckpt}")
+        ckpt = pathlib.Path(latest)
+
+    params0 = M.init(jax.random.PRNGKey(0), cfg.model)
+    restored, step = restore_checkpoint(ckpt, {"params": params0})
+    params = restored["params"]
+    print(f"checkpoint: {ckpt} (step {step})")
+
+    man = Manifest.load(
+        pathlib.Path(cfg.dataset.data_dir) / cfg.dataset.manifest)
+    train_man, _ = split_manifest(man, cfg.dataset.val_fraction,
+                                  cfg.dataset.split_seed)
+    ds = TextMelDataset(train_man, cfg.dataset)
+    items = [ds[i] for i in range(min(args.batch, len(ds)))]
+    batch = ds.collate(items)
+    tokens = jnp.asarray(batch["tokens"])
+    tmask = jnp.asarray(batch["token_mask"])
+    mel_gt = batch["mel"]
+    gt_mask = batch["mel_mask"]
+    max_frames = mel_gt.shape[1]
+    print(f"batch {tokens.shape[0]} x {max_frames} frames "
+          f"(gt lengths {gt_mask.sum(1).tolist()})")
+
+    def run_mode(mode, kv_dtype="compute"):
+        mcfg = dataclasses.replace(cfg.model, kv_cache_dtype=kv_dtype)
+        st = args.stop_threshold
+        fn_args = dict(max_frames=max_frames, rng=jax.random.PRNGKey(0),
+                       stop_threshold=st)
+        @jax.jit
+        def go(p, tok, msk):
+            memory = M.encode(p, mcfg, tok, msk, deterministic=True)
+            if mode == "recompute":
+                return decode_greedy_recompute(p, mcfg, memory, msk, **fn_args)
+            return decode_greedy(p, mcfg, memory, msk, mode=mode, **fn_args)
+
+        r = go(params, tokens, tmask)
+        return np.asarray(r.mel_post), np.asarray(r.lengths)
+
+    def l1(a, b, mask):
+        m = mask[..., None]
+        return float(np.abs((a - b) * m).sum() / (m.sum() * a.shape[-1]))
+
+    modes = args.modes.split(",")
+    results = {}
+    ref_mel, ref_len = None, None
+    for mode in modes:
+        mel, lens = run_mode(mode)
+        row = {"mel_l1_vs_gt": l1(mel, mel_gt, gt_mask),
+               "lengths": lens.tolist()}
+        if mode == "recompute":
+            ref_mel, ref_len = mel, lens
+        elif ref_mel is not None:
+            rmask = (np.arange(max_frames)[None, :] < ref_len[:, None])
+            row["mel_l1_vs_recompute"] = l1(mel, ref_mel, rmask)
+            row["stop_delta_max"] = int(np.abs(lens - ref_len).max())
+        results[mode] = row
+        print(f"{mode:14s} L1_gt={row['mel_l1_vs_gt']:.4f} "
+              + (f"L1_rec={row.get('mel_l1_vs_recompute'):.4f} "
+                 f"stopD={row.get('stop_delta_max')}"
+                 if "mel_l1_vs_recompute" in row else ""))
+
+    if args.kv_dtype:
+        print(f"\n-- kv_cache_dtype={args.kv_dtype} --")
+        for mode in modes:
+            if mode == "recompute":
+                continue
+            mel8, lens8 = run_mode(mode, kv_dtype=args.kv_dtype)
+            base = results[mode]
+            row = {"mel_l1_vs_gt": l1(mel8, mel_gt, gt_mask),
+                   "lengths": lens8.tolist()}
+            row["rel_cost_vs_gt_pct"] = (
+                100.0 * (row["mel_l1_vs_gt"] - base["mel_l1_vs_gt"])
+                / max(base["mel_l1_vs_gt"], 1e-9))
+            row["stop_delta_vs_bf16"] = int(
+                np.abs(lens8 - np.asarray(base["lengths"])).max())
+            results[f"{mode}@{args.kv_dtype}"] = row
+            print(f"{mode:14s} L1_gt={row['mel_l1_vs_gt']:.4f} "
+                  f"rel_cost={row['rel_cost_vs_gt_pct']:+.3f}% "
+                  f"stopD={row['stop_delta_vs_bf16']}")
+
+    print("\n" + json.dumps({"step": step, "max_frames": max_frames,
+                             "results": results}))
+
+
+if __name__ == "__main__":
+    main()
