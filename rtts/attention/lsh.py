@@ -193,15 +193,17 @@ def lsh_attend_chunks(
 def _sort_gather_mode(cfg: AttentionConfig, bh: int, nh: int, l: int,
                       dtype) -> str:
     """Resolve cfg.sort_gather ("auto" -> "onehot" while the one-hot
-    permutation operand stays under ~1 GB; "take" beyond — the one-hot
-    matmul's FLOPs grow as L^2 per row while take_along_axis stays linear,
-    and the measured crossover tracks the operand size)."""
+    permutation operand stays under ~4 GB; "take" beyond — the one-hot
+    matmul's FLOPs grow as L^2 per row while take_along_axis stays
+    linear.  Measured on v5e (BENCH.md r3): onehot wins 2.6x at flagship
+    L=1024 and still 1.14x/1.07x at oh sizes 1.1/2.1 GB (L=2048/4096);
+    the 8.6 GB 8k-longform case stays on take."""
     if cfg.sort_gather != "auto":
         if cfg.sort_gather not in ("onehot", "take"):
             raise ValueError(f"unknown sort_gather {cfg.sort_gather!r}")
         return cfg.sort_gather
     oh_bytes = bh * nh * l * l * jnp.dtype(dtype).itemsize
-    return "onehot" if oh_bytes <= (1 << 30) else "take"
+    return "onehot" if oh_bytes <= (1 << 32) else "take"
 
 
 def _pick_attend_fn(cfg: AttentionConfig):

@@ -112,7 +112,7 @@ class AttentionConfig:
     # (bit-exact: one matched element per row); "take" is the gather
     # formulation (linear in L — wins when the one-hot would be huge);
     # "auto" picks onehot while the per-round permutation matrix stays
-    # under ~1 GB.
+    # under ~4 GB (measured winner through 2 GB; 8k longform stays take).
     sort_gather: str = "auto"
     # attention-probs dropout (the reference lineage's LSHAttention dropout):
     # applied after the softmax in full/lsh/local self-attention and

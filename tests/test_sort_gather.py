@@ -77,6 +77,8 @@ def test_auto_rule():
     a = AttentionConfig(sort_gather="auto")
     # flagship train shapes: 64*4*1024*1024*2B = 537 MB -> onehot
     assert _sort_gather_mode(a, 64, 4, 1024, jnp.bfloat16) == "onehot"
+    # measured winners up to ~2 GB one-hot (L=2048/4096 sweeps)
+    assert _sort_gather_mode(a, 16, 4, 4096, jnp.bfloat16) == "onehot"
     # longform 8k: 16*4*8192*8192*2B = 8.6 GB -> take
     assert _sort_gather_mode(a, 16, 4, 8192, jnp.bfloat16) == "take"
     assert _sort_gather_mode(AttentionConfig(sort_gather="take"),
