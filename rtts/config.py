@@ -48,7 +48,8 @@ class TextConfig:
 
     cleaner: str = "english"          # "english" | "basic" | "identity"
     level: str = "char"               # "char" | "phoneme" (ARPAbet input)
-    lowercase: bool = True
+    # (casing is the cleaner's job — the symbol table is lowercase-only, so
+    # a separate lowercase knob would be a dead/lying switch; removed)
     # pad/eos ids are fixed by the symbol table (pad=0, eos=1)
     max_len: int = 512                # static-shape budget for token ids
     pad_to_multiple: int = 64         # LSH chunk alignment for encoder input

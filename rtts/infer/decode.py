@@ -775,10 +775,12 @@ def _auto_mode(cfg: ReformerTTSConfig, max_frames: int) -> str:
 
     kv_lsh_chunk's per-step attention touches nh*C keys plus per-layer
     gather/scatter overhead; kv_full touches the whole n_groups prefix in
-    one dense einsum.  Measured on v5e (BENCH.md): at 512 frames the ring
-    cache is ~8x SLOWER (nh*C == prefix, pure overhead), at 8k it is 1.78x
-    faster — so choose it only when the prefix is much larger than the
-    ring working set."""
+    one dense einsum.  Calibrated by the round-3 same-process sweep
+    (BENCH.md r3 "decode crossover", base cfg nh4 cap128 b2):
+    chunk/full throughput ratio 0.20 @1k, 0.69 @2k, 0.83 @4k, 1.50 @8k —
+    log-interpolated crossover ~5.1k groups = ~10x the nh*C ring working
+    set (the old factor-2 guess was 5x too eager; a 2k-frame request
+    would have paid a 31%% slowdown)."""
     from rtts.config import resolve_attention_kind
 
     a = cfg.decoder.attention
@@ -788,8 +790,7 @@ def _auto_mode(cfg: ReformerTTSConfig, max_frames: int) -> str:
     ring_cap = min(
         a.chunk_length * (1 + a.num_chunks_before + a.num_chunks_after),
         n_groups)
-    # factor 2: gathers cost ~1 dense-key-equivalent each on TPU
-    return ("kv_lsh_chunk" if n_groups > 2 * a.num_hashes * ring_cap
+    return ("kv_lsh_chunk" if n_groups > 10 * a.num_hashes * ring_cap
             else "kv_full")
 
 

@@ -156,6 +156,12 @@ def train_vocoder(cfg: Config, workdir: str, max_steps: Optional[int] = None,
                         step + 1,
                         metric=float(val_metrics.get("loss_vocoder", 0.0)),
                         keep=exp.checkpoint.keep)
+            elif (step + 1) % exp.checkpoint.save_every_steps == 0:
+                # periodic save between evals (crash-resume granularity)
+                if is_main:
+                    save_checkpoint(
+                        ckpt_dir, {"params": params, "opt_state": opt_state},
+                        step + 1, metric=None, keep=exp.checkpoint.keep)
         if is_main:
             logger.close()
     return last

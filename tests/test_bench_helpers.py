@@ -28,7 +28,9 @@ def test_flagship_config_is_advertised_scale():
     cfg = flagship_bench_config()
     assert cfg.model.d_model == 512
     assert cfg.model.encoder.num_layers == 6
-    assert cfg.model.decoder.attention.kind == "lsh"
+    # round 3: the flagship ships length-aware attention (full at its
+    # 1024-frame training length, LSH past the measured crossover)
+    assert cfg.model.decoder.attention.kind == "auto"
     assert cfg.model.vocab_size > 0
 
 

@@ -165,7 +165,9 @@ def test_auto_mode_is_cost_aware():
 
     cfg = lsh_cfg(reversible=False)   # chunk 16, nh 2, before 1 -> cap 32
     assert _auto_mode(cfg, 32) == "kv_full"
-    assert _auto_mode(cfg, 512) == "kv_lsh_chunk"
+    # r3 calibrated crossover: ~10x the nh*C ring working set (= 640 here)
+    assert _auto_mode(cfg, 512) == "kv_full"
+    assert _auto_mode(cfg, 1024) == "kv_lsh_chunk"
     import dataclasses
     full_dec = dataclasses.replace(
         cfg, decoder=dataclasses.replace(
