@@ -340,23 +340,27 @@ def bench_e2e(cfg: Optional[Config] = None, batch: int = 8,
 
 
 def bench_serving(cfg: Optional[Config] = None, repeats: int = 3,
-                  mode: str = "auto", staged="auto") -> Dict[str, Any]:
+                  mode: str = "auto", staged="auto",
+                  per_bucket: int = 32) -> Dict[str, Any]:
     """Variable-length serving batching vs pad-to-max (VERDICT r2 item 5).
 
-    Workload: 4 buckets x 8 requests whose TRUE mel lengths are
-    128/256/512/1024 frames (stop_threshold 2.0 pins every request to its
-    budget, so the comparison isolates shape management).  Baseline decodes
-    all 32 padded to 1024; bucketed serving decodes each group at its own
-    max_frames through the same jit cache (Synthesizer.serve_to_mel's
-    strategy at the decode level).  Aggregate useful frames are identical;
-    the win is not spending decode steps past each request's length."""
+    Workload: 4 buckets x ``per_bucket`` requests whose TRUE mel lengths
+    are 128/256/512/1024 frames (stop_threshold 2.0 pins every request to
+    its budget, so the comparison isolates shape management).  Baseline
+    decodes all of them padded to 1024 in one batch; bucketed serving
+    decodes each group at its own max_frames through the same jit cache
+    (Synthesizer.serve_to_mel's strategy at the decode level).  Aggregate
+    useful frames are identical; the win is not spending decode steps
+    past each request's length — and it GROWS with workload size, because
+    the per-step cost of the padded batch grows with its cache footprint
+    while the bucketed batches stay lean (measured: 1.06x at 8/bucket,
+    1.43x at 32/bucket — BENCH.md r3 "serving")."""
     from rtts.infer.decode import decode_greedy
     from rtts.models import reformer_tts as M
 
     cfg = cfg or base_bench_config()
     params = _serving_params(cfg, _build(cfg))
     budgets = [128, 256, 512, 1024]
-    per_bucket = 8
     token_lens = {128: 64, 256: 64, 512: 64, 1024: 128}
 
     def make_inputs(n, tl):

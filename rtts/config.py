@@ -227,7 +227,15 @@ class SqueezeWaveConfig:
     sample_rate: int = 22050
     hop_length: int = 256
     audio_segment_length: int = 16384  # random crop length for training
-    use_pallas: bool = True            # fused depthwise conv kernel on TPU
+    # fused Pallas depthwise-conv kernel.  Default OFF as of round 3: the
+    # same-process interleaved A/B at serving shapes (bf16, folded
+    # weights; BENCH.md r3 "depthwise conv verdict") measures median pair
+    # speedups 1.04/1.00/1.11 with a +-40% spread — the speed claim is
+    # inside the noise band, the same standard that retired the attend
+    # and FFN kernels.  The kernel stays available and tested; it is
+    # bit-exact in f32 where XLA's conv is approximate (1.75e-2), so
+    # accuracy-sensitive runs can switch it on.
+    use_pallas: bool = False
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
 
