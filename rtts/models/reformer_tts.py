@@ -153,10 +153,22 @@ def encoder_prenet(params, cfg: ReformerTTSConfig, h: jnp.ndarray,
 
 def postnet_apply(params, cfg: ReformerTTSConfig, mel: jnp.ndarray,
                   rng: Optional[jax.Array], deterministic: bool,
-                  compute_dtype) -> jnp.ndarray:
-    """Conv residual refiner: returns the residual to add to mel."""
+                  compute_dtype, frame_mask: Optional[jnp.ndarray] = None
+                  ) -> jnp.ndarray:
+    """Conv residual refiner: returns the residual to add to mel.
+
+    ``frame_mask`` (B, T) bool, when given, re-zeroes every layer's
+    activations beyond the mask: the convs have biases, so without it a
+    zero-PADDED input grows nonzero pad-region activations after layer 1
+    that bleed back into the last valid frames — with it, a run padded to
+    any length is mathematically identical to running at the exact masked
+    length (the serving engine's per-utterance postnet relies on this).
+    """
     h = mel
     n = len(params)
+    fm = None if frame_mask is None else frame_mask[..., None].astype(mel.dtype)
+    if fm is not None:
+        h = h * fm
     for i, layer in enumerate(params):
         h = conv1d(layer["conv"], h, compute_dtype=compute_dtype)
         if i < n - 1:
@@ -165,6 +177,8 @@ def postnet_apply(params, cfg: ReformerTTSConfig, mel: jnp.ndarray,
             if rng is not None:
                 h = dropout(jax.random.fold_in(rng, i), h, cfg.postnet_dropout,
                             deterministic)
+        if fm is not None:
+            h = h * fm.astype(h.dtype)
     return h
 
 

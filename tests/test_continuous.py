@@ -1,0 +1,167 @@
+"""Continuous-batching serving engine (SURVEY.md §4.3; CLAUDE.md round-2
+future work "continuous/variable-length serving batching").
+
+Correctness anchors:
+- All-slots-admitted-at-t=0 with budget == capacity reproduces
+  ``decode_greedy(mode="kv_full", staged=False)`` (same buffer layout,
+  same masks, same prenet key schedule).
+- A RECYCLED slot (admitted at t > 0, ring-rotated cache indices) matches
+  a fresh decode of the same request to f32 refusion tolerance.
+- Streaming admission: requests submitted mid-flight complete with the
+  right lengths; slot bookkeeping never loses or duplicates a request.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rtts.config import Config, from_dict, to_dict
+from rtts.infer.decode import decode_greedy
+from rtts.infer.serving import ServingEngine
+from rtts.models import reformer_tts as M
+
+from tests.test_model_m1 import tiny_cfg
+
+TOKEN_LEN = 16
+
+
+def _cfg(stop_threshold=2.0, reduction_factor=1):
+    model_cfg = tiny_cfg(d=32)  # prenet_dropout=0 -> fully deterministic
+    model_cfg = dataclasses.replace(model_cfg, stop_threshold=stop_threshold,
+                                    reduction_factor=reduction_factor)
+    return from_dict(Config, {"model": to_dict(model_cfg),
+                              "dataset": {"audio": {"n_mels": 20},
+                                          "text": {"max_len": TOKEN_LEN}}})
+
+
+def _tokens(seed, n=1):
+    key = jax.random.PRNGKey(seed)
+    tokens = jax.random.randint(key, (n, TOKEN_LEN), 3,
+                                _cfg().model.vocab_size)
+    return np.asarray(tokens), np.ones((n, TOKEN_LEN), bool)
+
+
+def _engine(cfg, params, **kw):
+    kw.setdefault("slots", 2)
+    kw.setdefault("capacity_frames", 64)
+    kw.setdefault("segment_frames", 16)
+    kw.setdefault("token_len", TOKEN_LEN)
+    return ServingEngine(cfg, params, **kw)
+
+
+def test_engine_matches_decode_greedy_pinned():
+    """Slots admitted together at t=0, run to capacity: engine output ==
+    decode_greedy(kv_full, staged=False) on the same batch."""
+    cfg = _cfg(stop_threshold=2.0)  # stop never fires -> budget force-stop
+    params = M.init(jax.random.PRNGKey(0), cfg.model)
+    cap = 64
+    tokens, mask = _tokens(7, n=2)
+
+    eng = _engine(cfg, params, slots=2, capacity_frames=cap, seed=0)
+    ids = [eng.submit_tokens(tokens[i:i + 1], mask[i:i + 1])
+           for i in range(2)]
+    results = eng.run_until_drained()
+
+    memory = M.encode(params, cfg.model, jnp.asarray(tokens),
+                      jnp.asarray(mask), deterministic=True)
+    ref = decode_greedy(params, cfg.model, memory, jnp.asarray(mask),
+                        max_frames=cap, rng=jax.random.PRNGKey(0),
+                        mode="kv_full", staged=False)
+    ref_mel = np.asarray(ref.mel_post)
+    ref_len = np.asarray(ref.lengths)
+
+    for i, rid in enumerate(ids):
+        mel, length = results[rid]
+        assert length == ref_len[i] == cap
+        np.testing.assert_allclose(mel, ref_mel[i], atol=1e-5, rtol=0)
+
+
+def test_recycled_slot_matches_fresh_decode():
+    """Requests decoded in a recycled slot (ring offsets > 0) match a
+    fresh decode_greedy at their own budget."""
+    cfg = _cfg(stop_threshold=2.0)
+    params = M.init(jax.random.PRNGKey(0), cfg.model)
+    eng = _engine(cfg, params, slots=2, capacity_frames=64,
+                  segment_frames=16, seed=0)
+    budgets = [16, 32, 48, 16]
+    toks = [_tokens(100 + i) for i in range(4)]
+    ids = [eng.submit_tokens(t, m, budget_frames=b)
+           for (t, m), b in zip(toks, budgets)]
+    results = eng.run_until_drained()
+    assert sorted(results) == sorted(ids)
+
+    for rid, (t, m), b in zip(ids, toks, budgets):
+        mel, length = results[rid]
+        assert length == b
+        memory = M.encode(params, cfg.model, jnp.asarray(t), jnp.asarray(m),
+                          deterministic=True)
+        ref = decode_greedy(params, cfg.model, memory, jnp.asarray(m),
+                            max_frames=b, rng=jax.random.PRNGKey(0),
+                            mode="kv_full", staged=False)
+        # the engine's prenet keys fold the GLOBAL step, so a slot admitted
+        # at t>0 sees a different (deterministic) key schedule; with
+        # prenet_dropout=0 the trajectories are identical up to the ring
+        # rotation's f32 reduction order
+        np.testing.assert_allclose(mel, np.asarray(ref.mel_post)[0],
+                                   atol=2e-4, rtol=0)
+
+
+def test_streaming_admission_and_lengths():
+    cfg = _cfg(stop_threshold=2.0)
+    params = M.init(jax.random.PRNGKey(0), cfg.model)
+    eng = _engine(cfg, params, slots=2, capacity_frames=64,
+                  segment_frames=16)
+    t0, m0 = _tokens(1)
+    first = [eng.submit_tokens(t0, m0, budget_frames=16) for _ in range(2)]
+    eng.step()  # both first requests finish (budget 16 == one segment)
+    t1, m1 = _tokens(2)
+    late = [eng.submit_tokens(t1, m1, budget_frames=32) for _ in range(3)]
+    results = eng.run_until_drained()
+    assert sorted(results) == sorted(first + late)
+    for rid in first:
+        assert results[rid][1] == 16
+    for rid in late:
+        assert results[rid][1] == 32
+    for rid, (mel, length) in results.items():
+        assert mel.shape == (length, cfg.model.n_mels)
+        assert np.isfinite(mel).all()
+    assert eng.idle and not eng.results
+
+
+def test_stop_head_fires():
+    """With a permissive threshold the stop head ends the utterance on the
+    first step."""
+    cfg = _cfg(stop_threshold=2.0)
+    params = M.init(jax.random.PRNGKey(0), cfg.model)
+    eng = _engine(cfg, params, stop_threshold=0.0)
+    t, m = _tokens(3)
+    rid = eng.submit_tokens(t, m)
+    results = eng.run_until_drained()
+    assert results[rid][1] == cfg.model.reduction_factor
+
+
+def test_reduction_factor_groups():
+    cfg = _cfg(stop_threshold=2.0, reduction_factor=2)
+    params = M.init(jax.random.PRNGKey(0), cfg.model)
+    eng = _engine(cfg, params, capacity_frames=64, segment_frames=16)
+    t, m = _tokens(4)
+    rid = eng.submit_tokens(t, m, budget_frames=24)
+    results = eng.run_until_drained()
+    mel, length = results[rid]
+    assert length == 24  # ceil(24/2)*2
+    assert mel.shape == (24, cfg.model.n_mels)
+
+
+def test_shape_validation():
+    cfg = _cfg(reduction_factor=2)
+    params = M.init(jax.random.PRNGKey(0), cfg.model)
+    with pytest.raises(ValueError):
+        ServingEngine(cfg, params, capacity_frames=63)  # not a multiple of r
+    cfg1 = _cfg()
+    params1 = M.init(jax.random.PRNGKey(0), cfg1.model)
+    eng = _engine(cfg1, params1)
+    with pytest.raises(ValueError):
+        eng.submit_tokens(np.ones((1, 8), np.int32), np.ones((1, 8), bool))
