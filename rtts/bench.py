@@ -17,6 +17,7 @@ on a single leaf, which measures correctly.)
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import time
 from typing import Any, Dict, Optional
@@ -409,6 +410,236 @@ def bench_serving(cfg: Optional[Config] = None, repeats: int = 3,
     }
 
 
+def bench_continuous(cfg: Optional[Config] = None, repeats: int = 3,
+                     per_group: int = 8, slots: int = 8,
+                     segment_frames: int = 64) -> Dict[str, Any]:
+    """Continuous batching (ServingEngine) vs synchronous batches at the
+    SAME concurrency (VERDICT r2 "missing" #4 follow-through).
+
+    Workload: 4 length groups x ``per_group`` requests (true lengths
+    128/256/512/1024 frames, budget force-stop pins each to its length),
+    SHUFFLED arrival order — the case bucketed serving can't handle
+    without an oracle.  Five strategies, all decoding ``slots`` requests
+    concurrently:
+
+    - engine: slot-recycling continuous batching (admits in arrival
+      order; a finished slot immediately takes the next request), host
+      drives segments
+    - fused: ``serve_batch`` — the whole queue scheduled inside ONE
+      compiled while_loop (no host round-trips)
+    - pool: ``serve_pool`` — fused scheduler per capacity class (cache
+      economy of bucketing + slot recycling), one dispatch per class
+    - pad_to_max: batches of ``slots`` in arrival order, every batch
+      decoded to max_frames=1024 (what a shape-static server does to a
+      shuffled stream)
+    - bucketed_oracle: batches grouped BY LENGTH, each at its own
+      max_frames (Synthesizer.serve with a perfect length predictor —
+      the shape-managed lower bound for synchronous batching)
+
+    Engine timing includes its host-side harvest/admission and the
+    per-utterance postnet dispatches; per-request completion latency is
+    reported for the engine (synchronous batches complete only when the
+    whole batch does)."""
+    from rtts.infer.decode import decode_greedy
+    from rtts.infer.serving import ServingEngine
+    from rtts.models import reformer_tts as M
+
+    cfg = cfg or base_bench_config()
+    params = _serving_params(cfg, _build(cfg))
+    lengths_pool = [128, 256, 512, 1024]
+    token_len = 128
+    rng = np.random.RandomState(0)
+    workload = [l for l in lengths_pool for _ in range(per_group)]
+    rng.shuffle(workload)
+    tokens_all = np.asarray(jax.random.randint(
+        jax.random.PRNGKey(1), (len(workload), token_len), 3,
+        cfg.model.vocab_size), np.int32)
+    masks_all = np.ones((len(workload), token_len), bool)
+    useful_frames = sum(workload)
+    max_frames = max(lengths_pool)
+
+    # --- engine (online segment API; results stay device-resident) ------
+    eng = ServingEngine(cfg, params, slots=slots, capacity_frames=max_frames,
+                        segment_frames=segment_frames, token_len=token_len,
+                        stop_threshold=2.0)
+
+    def run_engine():
+        eng.reset()
+        done_t = {}
+        t0 = time.perf_counter()
+        ids = []
+        for i, true_len in enumerate(workload):
+            rid = eng.submit_tokens(tokens_all[i:i + 1], masks_all[i:i + 1],
+                                    budget_frames=true_len)
+            ids.append(rid)
+        last = None
+        while not eng.idle:
+            for rid in eng.step():
+                done_t[rid] = time.perf_counter()   # postnet still in flight
+                last = rid
+        if last is not None:
+            _sync(eng.results[last][0])
+        wall = time.perf_counter() - t0
+        eng.results.clear()
+        lat = [done_t[r] - t0 for r in ids]
+        return wall, float(np.mean(lat)), float(np.max(lat))
+
+    # --- capacity-classed pool (fused scheduler per class) ---------------
+    from rtts.infer.serving import serve_pool
+
+    def run_pool(budget_list):
+        t0 = time.perf_counter()
+        mels, lens = serve_pool(
+            params, cfg.model, tokens_all, masks_all, budget_list,
+            class_caps=tuple(lengths_pool), slots=slots,
+            segment_frames=segment_frames, stop_threshold=2.0,
+            rng=jax.random.PRNGKey(0))
+        # serve_pool fetches lengths per class, so every class dispatch has
+        # completed by here
+        return time.perf_counter() - t0
+
+    # --- fused scheduler: whole queue in one dispatch -------------------
+    from rtts.infer.serving import serve_batch
+
+    @functools.partial(jax.jit, static_argnames=("cap", "sl", "seg"))
+    def run_fused(p, tok, msk, bud, cap, sl, seg):
+        return serve_batch(p, cfg.model, tok, msk, bud, capacity_frames=cap,
+                           slots=sl, segment_frames=seg, stop_threshold=2.0,
+                           rng=jax.random.PRNGKey(0))
+
+    fused_args = (jnp.asarray(tokens_all), jnp.asarray(masks_all),
+                  jnp.asarray(workload, jnp.int32))
+
+    def run_fused_timed():
+        t0 = time.perf_counter()
+        _sync(run_fused(params, *fused_args, cap=max_frames, sl=slots,
+                        seg=segment_frames))
+        return time.perf_counter() - t0
+
+    # --- synchronous baselines -----------------------------------------
+    @functools.partial(jax.jit, static_argnames=("mf",))
+    def run_batch(p, tok, msk, mf):
+        memory = M.encode(p, cfg.model, tok, msk, deterministic=True)
+        return decode_greedy(p, cfg.model, memory, msk, max_frames=mf,
+                             stop_threshold=2.0, mode="auto")
+
+    def run_sync(order, frame_caps):
+        t0 = time.perf_counter()
+        for start in range(0, len(order), slots):
+            idx = order[start:start + slots]
+            if len(idx) < slots:   # pad the tail batch to the slot count
+                idx = idx + idx[: slots - len(idx)]
+            _sync(run_batch(params, jnp.asarray(tokens_all[idx]),
+                            jnp.asarray(masks_all[idx]),
+                            mf=frame_caps[start // slots]))
+        return time.perf_counter() - t0
+
+    arrival = list(range(len(workload)))
+    pad_caps = [max_frames] * ((len(workload) + slots - 1) // slots)
+    by_len = sorted(arrival, key=lambda i: workload[i])
+    oracle_caps = [max(workload[i] for i in by_len[s:s + slots])
+                   for s in range(0, len(by_len), slots)]
+
+    # warm every compile path
+    run_engine()
+    run_pool(workload)
+    run_fused_timed()
+    run_sync(arrival, pad_caps)
+    run_sync(by_len, oracle_caps)
+
+    eng_w, poo_w, fus_w, pad_w, ora_w = [], [], [], [], []
+    lat_mean = lat_max = 0.0
+    for _ in range(repeats):
+        w, lm, lx = run_engine()
+        eng_w.append(w)
+        lat_mean, lat_max = lm, lx
+        poo_w.append(run_pool(workload))
+        fus_w.append(run_fused_timed())
+        pad_w.append(run_sync(arrival, pad_caps))
+        ora_w.append(run_sync(by_len, oracle_caps))
+    te, tl, tf, tp, to = (min(eng_w), min(poo_w), min(fus_w), min(pad_w),
+                          min(ora_w))
+    scenario_a = {
+        "aggregate_frames_per_sec_pool": useful_frames / tl,
+        "aggregate_frames_per_sec_fused": useful_frames / tf,
+        "aggregate_frames_per_sec_engine": useful_frames / te,
+        "aggregate_frames_per_sec_pad_to_max": useful_frames / tp,
+        "aggregate_frames_per_sec_bucketed_oracle": useful_frames / to,
+        "pool_speedup_vs_pad_to_max": tp / tl,
+        "pool_speedup_vs_bucketed_oracle": to / tl,
+        "fused_speedup_vs_pad_to_max": tp / tf,
+        "fused_speedup_vs_bucketed_oracle": to / tf,
+        "speedup_vs_pad_to_max": tp / te,
+        "speedup_vs_bucketed_oracle": to / te,
+        "pool_seconds": tl,
+        "fused_seconds": tf,
+        "engine_seconds": te,
+        "pad_to_max_seconds": tp,
+        "bucketed_oracle_seconds": to,
+        "engine_latency_mean_s": lat_mean,
+        "engine_latency_max_s": lat_max,
+        "workload": {str(l): per_group for l in lengths_pool},
+    }
+
+    # --- scenario B: UNPREDICTABLE stop times within one class -----------
+    # Every request predicts to the top class (a length model can't tell
+    # them apart), but true lengths vary 128..1024.  Sync batching must run
+    # each batch to its longest member; slot recycling reclaims the decode
+    # steps the short requests don't use WITHOUT knowing lengths up front.
+    n_b = 4 * per_group
+    true_b = (64 * rng.randint(2, max_frames // 64 + 1, size=n_b)).tolist()
+    useful_b = sum(true_b)
+    bud_b = jnp.asarray(true_b, jnp.int32)
+
+    def run_fused_b():
+        t0 = time.perf_counter()
+        _sync(run_fused(params, *fused_args[:2], bud_b, cap=max_frames,
+                        sl=slots, seg=segment_frames))
+        return time.perf_counter() - t0
+
+    # sync baselines: the batch runs until its longest TRUE length
+    # (charitably emulating the stop head firing; quantized to 64)
+    def caps_for(order):
+        return [64 * (-(-max(true_b[i] for i in order[s:s + slots]) // 64))
+                for s in range(0, len(order), slots)]
+
+    arrival_b = list(range(n_b))
+    by_len_b = sorted(arrival_b, key=lambda i: true_b[i])
+
+    run_fused_b()
+    run_sync(arrival_b, caps_for(arrival_b))
+    run_sync(by_len_b, caps_for(by_len_b))
+    fus_b, arr_b, ora_b = [], [], []
+    for _ in range(repeats):
+        fus_b.append(run_fused_b())
+        arr_b.append(run_sync(arrival_b, caps_for(arrival_b)))
+        ora_b.append(run_sync(by_len_b, caps_for(by_len_b)))
+    tfb, tab, tob = min(fus_b), min(arr_b), min(ora_b)
+    scenario_b = {
+        "aggregate_frames_per_sec_fused": useful_b / tfb,
+        "aggregate_frames_per_sec_sync_arrival": useful_b / tab,
+        "aggregate_frames_per_sec_sync_length_oracle": useful_b / tob,
+        "fused_speedup_vs_sync_arrival": tab / tfb,
+        "fused_speedup_vs_length_oracle": tob / tfb,
+        "fused_seconds": tfb,
+        "sync_arrival_seconds": tab,
+        "sync_length_oracle_seconds": tob,
+        "true_length_range": [min(true_b), max(true_b)],
+        "n_requests": n_b,
+    }
+
+    return {
+        "scenario_a_perfect_prediction": scenario_a,
+        "scenario_b_unpredictable_lengths": scenario_b,
+        "pool_speedup_vs_pad_to_max": scenario_a["pool_speedup_vs_pad_to_max"],
+        "fused_speedup_vs_sync_arrival":
+            scenario_b["fused_speedup_vs_sync_arrival"],
+        "slots": slots,
+        "segment_frames": segment_frames,
+        "device": str(jax.devices()[0]),
+    }
+
+
 def bench_vocoder(cfg: Optional[Config] = None, batch: int = 8,
                   mel_frames: int = 512, repeats: int = 3) -> Dict[str, Any]:
     from rtts.models import squeezewave as SW
@@ -674,6 +905,13 @@ def run_bench(cfg: Optional[Config] = None, which: str = "e2e") -> str:
         line = {"metric": "serving_bucketed_vs_pad_to_max_speedup",
                 "value": round(r["speedup"], 4), "unit": "x",
                 "vs_baseline": round(r["speedup"], 4),
+                "detail": r}
+    elif which == "continuous":
+        r = bench_continuous(cfg)
+        line = {"metric": "continuous_batching_vs_sync_speedup",
+                "value": round(r["fused_speedup_vs_sync_arrival"], 4),
+                "unit": "x",
+                "vs_baseline": round(r["fused_speedup_vs_sync_arrival"], 4),
                 "detail": r}
     elif which == "kernels":
         r = bench_kernels()

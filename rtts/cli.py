@@ -173,7 +173,8 @@ def predict(cfg: Config, text, tts_ckpt, vocoder_ckpt, out_dir, max_frames,
 @cli.command()
 @click.option("--which", default="decode",
               type=click.Choice(["decode", "e2e", "vocoder", "train",
-                                 "longform", "serving", "kernels", "all"]))
+                                 "longform", "serving", "continuous",
+                                 "kernels", "all"]))
 @click.pass_obj
 def bench(cfg: Config, which):
     """Run the benchmark harness and print JSON line(s)."""
@@ -182,7 +183,7 @@ def bench(cfg: Config, which):
 
     enable_compilation_cache()
     modes = (["decode", "e2e", "vocoder", "train", "longform", "serving",
-              "kernels"]
+              "continuous", "kernels"]
              if which == "all" else [which])
     for m in modes:
         click.echo(run_bench(cfg, m))

@@ -4,6 +4,7 @@ from rtts.infer.decode import (
     decode_greedy_recompute,
     decode_teacher_check,
 )
+from rtts.infer.serving import ServingEngine, serve_batch, serve_pool
 from rtts.infer.streaming import StreamingSynthesizer
 from rtts.infer.synthesize import synthesize, Synthesizer
 
@@ -15,4 +16,7 @@ __all__ = [
     "synthesize",
     "Synthesizer",
     "StreamingSynthesizer",
+    "ServingEngine",
+    "serve_batch",
+    "serve_pool",
 ]

@@ -201,6 +201,80 @@ class Synthesizer:
                                           min_frames)
         return [self.mel_to_audio(m) for m in mels]
 
+    # -- continuous batching (slot recycling inside a compiled scheduler) ----
+
+    def serve_continuous_to_mel(self, texts: Sequence[str], seed: int = 0,
+                                frames_per_token: float = 8.0,
+                                min_frames: int = 64, slots: int = 8,
+                                segment_frames: int = 64,
+                                escalate: bool = True
+                                ) -> Tuple[List[np.ndarray], List[int]]:
+        """Continuous-batching synthesis via the capacity-classed pool
+        (``rtts.infer.serving.serve_pool``): requests route to the smallest
+        power-of-two capacity class covering their predicted length, and
+        within a class a compiled scheduler recycles decode slots the step
+        a request stops — arrival order and per-request stop times don't
+        couple requests, unlike the synchronous buckets of ``serve_to_mel``
+        (measured: see BENCH.md "continuous").  Returns per-request
+        (mel (T_i, n_mels) np.float32, length)."""
+        from rtts.infer.serving import serve_pool
+
+        import math
+
+        tcfg = self.cfg.dataset.text
+        budgets = self.predict_frames(texts, frames_per_token, min_frames)
+        tokens, mask = encode_batch(texts, cleaner=tcfg.cleaner,
+                                    pad_to_multiple=tcfg.pad_to_multiple,
+                                    max_len=tcfg.max_len, level=tcfg.level)
+        # power-of-two capacity classes, rounded up to the same quantum as
+        # predict_frames (multiples of 64 and the reduction factor — a
+        # serve_batch capacity must divide by r); the top class covers
+        # max_frames even when max_frames itself is off-quantum
+        r = self.cfg.model.reduction_factor
+        m = 64 * r // math.gcd(64, r)
+        top = -(-self.max_frames // m) * m
+        caps = tuple(sorted({-(-c // m) * m for c in
+                             (128, 256, 512, 1024, 2048, 4096, 8192)
+                             if -(-c // m) * m < top} | {top}))
+        seg = max(r, segment_frames - segment_frames % r)
+
+        def run(tok, msk, bud):
+            dmels, lens = serve_pool(
+                self.tts_params, self.cfg.model, tok, msk, bud,
+                class_caps=caps, slots=slots, segment_frames=seg,
+                rng=jax.random.PRNGKey(seed))
+            return dmels, lens
+
+        dmels, lens = run(tokens, mask, budgets)
+        mels: List[Optional[np.ndarray]] = [None] * len(texts)
+        lengths: List[int] = [0] * len(texts)
+        needs_full: List[int] = []
+        for i in range(len(texts)):
+            li = int(lens[i])
+            if (escalate and li >= budgets[i]
+                    and budgets[i] < self.max_frames):
+                needs_full.append(i)   # budget may have truncated the stop
+            else:
+                mels[i] = np.asarray(dmels[i])[:li]
+                lengths[i] = li
+        if needs_full:
+            dmels, lens = run(tokens[needs_full], mask[needs_full],
+                              [self.max_frames] * len(needs_full))
+            for j, i in enumerate(needs_full):
+                li = int(lens[j])
+                mels[i] = np.asarray(dmels[j])[:li]
+                lengths[i] = li
+        return mels, lengths  # type: ignore[return-value]
+
+    def serve_continuous(self, texts: Sequence[str], seed: int = 0,
+                         frames_per_token: float = 8.0, min_frames: int = 64,
+                         slots: int = 8, segment_frames: int = 64
+                         ) -> List[np.ndarray]:
+        """Continuous-batching text->wav (see serve_continuous_to_mel)."""
+        mels, _ = self.serve_continuous_to_mel(
+            texts, seed, frames_per_token, min_frames, slots, segment_frames)
+        return [self.mel_to_audio(m) for m in mels]
+
 
 def synthesize(cfg: Config, tts_params, texts: Sequence[str],
                vocoder_params=None, max_frames: int = 1024, seed: int = 0,

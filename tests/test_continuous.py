@@ -155,6 +155,117 @@ def test_reduction_factor_groups():
     assert mel.shape == (24, cfg.model.n_mels)
 
 
+def test_serve_batch_matches_decode_greedy():
+    """N <= slots, budget == capacity: the fused scheduler reduces to the
+    plain batched decode (one admission at t=0, no recycling)."""
+    from rtts.infer.serving import serve_batch
+
+    cfg = _cfg(stop_threshold=2.0)
+    params = M.init(jax.random.PRNGKey(0), cfg.model)
+    cap = 64
+    tokens, mask = _tokens(7, n=2)
+    mel, lengths = serve_batch(
+        params, cfg.model, jnp.asarray(tokens), jnp.asarray(mask),
+        budgets=jnp.asarray([cap, cap]), capacity_frames=cap, slots=2,
+        segment_frames=16, rng=jax.random.PRNGKey(0))
+
+    memory = M.encode(params, cfg.model, jnp.asarray(tokens),
+                      jnp.asarray(mask), deterministic=True)
+    ref = decode_greedy(params, cfg.model, memory, jnp.asarray(mask),
+                        max_frames=cap, rng=jax.random.PRNGKey(0),
+                        mode="kv_full", staged=False)
+    assert np.array_equal(np.asarray(lengths), np.asarray(ref.lengths))
+    np.testing.assert_allclose(np.asarray(mel), np.asarray(ref.mel_post),
+                               atol=1e-5, rtol=0)
+
+
+def test_serve_batch_matches_engine():
+    """The fused scheduler and the segment engine produce the same
+    results on a recycling workload (more requests than slots)."""
+    from rtts.infer.serving import serve_batch
+
+    cfg = _cfg(stop_threshold=2.0)
+    params = M.init(jax.random.PRNGKey(0), cfg.model)
+    budgets = [16, 32, 48, 16, 32]
+    toks = [_tokens(100 + i) for i in range(5)]
+    tokens = np.concatenate([t for t, _ in toks])
+    masks = np.concatenate([m for _, m in toks])
+
+    mel, lengths = serve_batch(
+        params, cfg.model, jnp.asarray(tokens), jnp.asarray(masks),
+        budgets=jnp.asarray(budgets), capacity_frames=64, slots=2,
+        segment_frames=16, rng=jax.random.PRNGKey(0))
+    lengths = np.asarray(lengths)
+
+    eng = _engine(cfg, params, slots=2, capacity_frames=64,
+                  segment_frames=16, seed=0)
+    ids = [eng.submit_tokens(t, m, budget_frames=b)
+           for (t, m), b in zip(toks, budgets)]
+    results = eng.run_until_drained()
+
+    # identical admission order (both fill free slots in slot order from
+    # the queue head), so slot assignments and offsets line up exactly
+    for i, rid in enumerate(ids):
+        e_mel, e_len = results[rid]
+        assert lengths[i] == e_len == budgets[i]
+        np.testing.assert_allclose(np.asarray(mel)[i, :e_len], e_mel,
+                                   atol=1e-5, rtol=0)
+        assert np.all(np.asarray(mel)[i, e_len:] == 0.0)
+
+
+def test_serve_batch_stop_head():
+    from rtts.infer.serving import serve_batch
+
+    cfg = _cfg(stop_threshold=2.0)
+    params = M.init(jax.random.PRNGKey(0), cfg.model)
+    tokens, mask = _tokens(9, n=3)
+    mel, lengths = serve_batch(
+        params, cfg.model, jnp.asarray(tokens), jnp.asarray(mask),
+        budgets=jnp.asarray([64, 64, 64]), capacity_frames=64, slots=2,
+        segment_frames=16, stop_threshold=0.0)
+    # permissive threshold: every request stops on its first frame
+    assert np.all(np.asarray(lengths) == cfg.model.reduction_factor)
+
+
+def test_serve_pool_routes_and_matches():
+    """Pool = serve_batch per capacity class; each request matches a fresh
+    decode at its own budget and lands in the right class capacity."""
+    from rtts.infer.serving import serve_pool
+
+    cfg = _cfg(stop_threshold=2.0)
+    params = M.init(jax.random.PRNGKey(0), cfg.model)
+    budgets = [16, 48, 32, 64, 16]
+    toks = [_tokens(200 + i) for i in range(5)]
+    tokens = np.concatenate([t for t, _ in toks])
+    masks = np.concatenate([m for _, m in toks])
+
+    mels, lengths = serve_pool(params, cfg.model, tokens, masks, budgets,
+                               class_caps=(32, 64), slots=2,
+                               segment_frames=16, rng=jax.random.PRNGKey(0))
+    assert list(lengths) == budgets
+    for i, b in enumerate(budgets):
+        cap = 32 if b <= 32 else 64
+        assert mels[i].shape == (cap, cfg.model.n_mels)
+        ref = decode_greedy(
+            params, cfg.model,
+            M.encode(params, cfg.model, jnp.asarray(toks[i][0]),
+                     jnp.asarray(toks[i][1]), deterministic=True),
+            jnp.asarray(toks[i][1]), max_frames=b,
+            rng=jax.random.fold_in(jax.random.PRNGKey(0), cap),
+            mode="kv_full", staged=False)
+        # same request, own-budget fresh decode: identical up to ring
+        # rotation + capacity-sized softmax reduction order
+        np.testing.assert_allclose(np.asarray(mels[i])[:b],
+                                   np.asarray(ref.mel_post)[0], atol=2e-4,
+                                   rtol=0)
+        assert np.all(np.asarray(mels[i])[b:] == 0.0)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        serve_pool(params, cfg.model, tokens, masks, [128],
+                   class_caps=(32, 64), slots=2)
+
+
 def test_shape_validation():
     cfg = _cfg(reduction_factor=2)
     params = M.init(jax.random.PRNGKey(0), cfg.model)

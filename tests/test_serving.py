@@ -96,3 +96,50 @@ def test_serve_produces_waveforms():
     assert len(wavs) == 2
     for w in wavs:
         assert w.ndim == 1 and len(w) > 0 and np.isfinite(w).all()
+
+
+def test_serve_continuous_to_mel_shapes_and_parity():
+    """The continuous path (capacity-classed serve_pool behind the
+    Synthesizer API) returns per-request trimmed mels, and a request whose
+    budget fills a whole class matches the fused scheduler directly."""
+    from rtts.infer.serving import serve_pool
+    from rtts.text import encode_batch
+
+    syn = _synth(_cfg(stop_threshold=2.0), max_frames=128)
+    texts = ["aaaa", "a somewhat longer request here", "bb",
+             "the longest request in this tiny workload by far ok then"]
+    mels, lengths = syn.serve_continuous_to_mel(
+        texts, frames_per_token=4.0, min_frames=32, slots=2,
+        segment_frames=32, escalate=False)
+    assert len(mels) == len(texts)
+    for m, li in zip(mels, lengths):
+        assert li > 0 and m.shape == (li, syn.cfg.model.n_mels)
+        assert np.isfinite(m).all()
+
+    # plumbing parity: same budgets through serve_pool directly
+    tcfg = syn.cfg.dataset.text
+    budgets = syn.predict_frames(texts, frames_per_token=4.0, min_frames=32)
+    tokens, mask = encode_batch(texts, cleaner=tcfg.cleaner,
+                                pad_to_multiple=tcfg.pad_to_multiple,
+                                max_len=tcfg.max_len, level=tcfg.level)
+    dmels, lens = serve_pool(syn.tts_params, syn.cfg.model, tokens, mask,
+                             budgets, class_caps=(64, 128), slots=2,
+                             segment_frames=32, rng=jax.random.PRNGKey(0))
+    for i in range(len(texts)):
+        assert lengths[i] == int(lens[i])
+        np.testing.assert_array_equal(mels[i], np.asarray(dmels[i])[:lens[i]])
+
+
+def test_serve_continuous_escalates():
+    """stop never fires (threshold 2.0) => budget-capped lengths escalate
+    to max_frames when requested."""
+    syn = _synth(_cfg(stop_threshold=2.0), max_frames=128)
+    texts = ["hi", "bb"]
+    mels, lengths = syn.serve_continuous_to_mel(
+        texts, frames_per_token=2.0, min_frames=32, slots=2,
+        segment_frames=32, escalate=True)
+    assert all(li == 128 for li in lengths)
+    mels_f, lengths_f = syn.serve_continuous_to_mel(
+        texts, frames_per_token=2.0, min_frames=32, slots=2,
+        segment_frames=32, escalate=False)
+    assert all(li == 64 for li in lengths_f)
