@@ -207,8 +207,8 @@ class Synthesizer:
                                 frames_per_token: float = 8.0,
                                 min_frames: int = 64, slots: int = 8,
                                 segment_frames: int = 64,
-                                escalate: bool = True
-                                ) -> Tuple[List[np.ndarray], List[int]]:
+                                escalate: bool = True, fetch: bool = True
+                                ) -> Tuple[List[Any], List[int]]:
         """Continuous-batching synthesis via the capacity-classed pool
         (``rtts.infer.serving.serve_pool``): requests route to the smallest
         power-of-two capacity class covering their predicted length, and
@@ -216,7 +216,12 @@ class Synthesizer:
         a request stops — arrival order and per-request stop times don't
         couple requests, unlike the synchronous buckets of ``serve_to_mel``
         (measured: see BENCH.md "continuous").  Returns per-request
-        (mel (T_i, n_mels) np.float32, length)."""
+        (mel (T_i, n_mels) np.float32, length).
+
+        ``fetch=False`` returns DEVICE-resident rows at their class
+        capacity (zero beyond each length) for on-device consumers — the
+        batched vocoder path stacks same-capacity rows without a host
+        round-trip."""
         from rtts.infer.serving import serve_pool
 
         import math
@@ -246,7 +251,7 @@ class Synthesizer:
             return dmels, lens
 
         dmels, lens = run(tokens, mask, budgets)
-        mels: List[Optional[np.ndarray]] = [None] * len(texts)
+        mels: List[Any] = [None] * len(texts)
         lengths: List[int] = [0] * len(texts)
         needs_full: List[int] = []
         for i in range(len(texts)):
@@ -255,25 +260,59 @@ class Synthesizer:
                     and budgets[i] < self.max_frames):
                 needs_full.append(i)   # budget may have truncated the stop
             else:
-                mels[i] = np.asarray(dmels[i])[:li]
+                mels[i] = np.asarray(dmels[i])[:li] if fetch else dmels[i]
                 lengths[i] = li
         if needs_full:
             dmels, lens = run(tokens[needs_full], mask[needs_full],
                               [self.max_frames] * len(needs_full))
             for j, i in enumerate(needs_full):
                 li = int(lens[j])
-                mels[i] = np.asarray(dmels[j])[:li]
+                mels[i] = np.asarray(dmels[j])[:li] if fetch else dmels[j]
                 lengths[i] = li
-        return mels, lengths  # type: ignore[return-value]
+        return mels, lengths
 
     def serve_continuous(self, texts: Sequence[str], seed: int = 0,
                          frames_per_token: float = 8.0, min_frames: int = 64,
-                         slots: int = 8, segment_frames: int = 64
-                         ) -> List[np.ndarray]:
-        """Continuous-batching text->wav (see serve_continuous_to_mel)."""
-        mels, _ = self.serve_continuous_to_mel(
-            texts, seed, frames_per_token, min_frames, slots, segment_frames)
-        return [self.mel_to_audio(m) for m in mels]
+                         slots: int = 8, segment_frames: int = 64,
+                         vocode: str = "batched") -> List[np.ndarray]:
+        """Continuous-batching text->wav (see serve_continuous_to_mel).
+
+        ``vocode="batched"`` stacks same-capacity-class mel rows and runs
+        ONE vocoder dispatch per class, on device end to end; audio is
+        sliced to each true length.  ``vocode="exact"`` runs each
+        utterance trimmed through ``mel_to_audio`` (one dispatch per
+        request, bit-identical to ``__call__``).  The two draw different
+        flow noise ``z`` (per-class rows vs per-utterance), so waveforms
+        differ SAMPLE-wise while being identically distributed — inherent
+        to any batched flow vocoder.  Conditioning differences from the
+        zero padding are confined to the receptive field of the stop
+        boundary (``squeezewave.receptive_field_squeezed``)."""
+        if vocode not in ("batched", "exact"):
+            raise ValueError(f"vocode must be 'batched' or 'exact', "
+                             f"got {vocode!r}")
+        if vocode == "exact" or self.vocoder_params is None:
+            mels, _ = self.serve_continuous_to_mel(
+                texts, seed, frames_per_token, min_frames, slots,
+                segment_frames)
+            return [self.mel_to_audio(m) for m in mels]
+
+        from rtts.models.squeezewave import infer as sw_infer
+
+        rows, lengths = self.serve_continuous_to_mel(
+            texts, seed, frames_per_token, min_frames, slots, segment_frames,
+            fetch=False)
+        hop = self.cfg.vocoder.hop_length
+        by_cap: dict = {}
+        for i, row in enumerate(rows):
+            by_cap.setdefault(int(row.shape[0]), []).append(i)
+        wavs: List[Optional[np.ndarray]] = [None] * len(texts)
+        for cap, idxs in sorted(by_cap.items()):
+            audio = sw_infer(self.vocoder_params, self.cfg.vocoder,
+                             jnp.stack([rows[i] for i in idxs]), folded=True)
+            audio = np.asarray(audio)
+            for j, i in enumerate(idxs):
+                wavs[i] = audio[j, : lengths[i] * hop]
+        return wavs  # type: ignore[return-value]
 
 
 def synthesize(cfg: Config, tts_params, texts: Sequence[str],

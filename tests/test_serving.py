@@ -143,3 +143,43 @@ def test_serve_continuous_escalates():
         texts, frames_per_token=2.0, min_frames=32, slots=2,
         segment_frames=32, escalate=False)
     assert all(li == 64 for li in lengths_f)
+
+
+def test_serve_continuous_batched_vocode():
+    """One vocoder dispatch per capacity class.  The flow draws different
+    noise z than the per-utterance exact path, so waveforms are compared
+    structurally (shape = true length x hop, finite, deterministic across
+    calls), not sample-wise."""
+    from rtts.config import SqueezeWaveConfig
+    from rtts.models import squeezewave as SW
+
+    cfg = _cfg(stop_threshold=2.0)
+    vcfg = SqueezeWaveConfig(
+        n_mels=20, n_flows=4, n_group=32, n_early_every=2, n_early_size=8,
+        wn_layers=2, wn_channels=32, wn_kernel_size=3, hop_length=64,
+        audio_segment_length=1024, compute_dtype="float32")
+    cfg = dataclasses.replace(cfg, vocoder=vcfg)
+    params = M.init(jax.random.PRNGKey(0), cfg.model)
+    vparams = SW.init(jax.random.PRNGKey(1), vcfg)
+    syn = Synthesizer(cfg, params, vocoder_params=vparams, max_frames=128)
+
+    texts = ["aaaa", "a somewhat longer request here ok then indeed"]
+    kw = dict(frames_per_token=4.0, min_frames=32, slots=2,
+              segment_frames=32)
+    wav_b = syn.serve_continuous(texts, vocode="batched", **kw)
+    wav_e = syn.serve_continuous(texts, vocode="exact", **kw)
+    _, lengths = syn.serve_continuous_to_mel(texts, **kw)
+
+    hop = vcfg.hop_length
+    for wb, we, li in zip(wav_b, wav_e, lengths):
+        assert wb.shape == we.shape == (li * hop,)
+        assert np.isfinite(wb).all() and np.isfinite(we).all()
+
+    # deterministic: same call, same audio
+    wav_b2 = syn.serve_continuous(texts, vocode="batched", **kw)
+    for w1, w2 in zip(wav_b, wav_b2):
+        np.testing.assert_array_equal(w1, w2)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        syn.serve_continuous(texts, vocode="nope", **kw)
