@@ -4,7 +4,7 @@ option and one verb per pipeline stage, mirroring the reference's surface:
     python -m rtts.cli [-c CONFIG.yaml] [-o key.path=value ...] VERB
 
 Verbs: download, generate-corpus, preprocess, train-tts, train-vocoder,
-predict, bench.
+predict, serve, bench.
 """
 
 from __future__ import annotations
@@ -113,27 +113,13 @@ def train_vocoder_cmd(cfg: Config, workdir, max_steps):
     click.echo(f"done: {metrics}")
 
 
-@cli.command()
-@click.option("--text", required=True, multiple=True,
-              help="text to synthesize (repeatable)")
-@click.option("--tts-ckpt", default=None, help="TTS checkpoint dir")
-@click.option("--vocoder-ckpt", default=None, help="vocoder checkpoint dir")
-@click.option("--out", "out_dir", default="synth_out")
-@click.option("--max-frames", default=1024)
-@click.option("--seed", default=0)
-@click.option("--mode", default="auto",
-              type=click.Choice(["kv_full", "kv_lsh", "kv_lsh_chunk",
-                                 "auto"]),
-              help="AR decode cache strategy")
-@click.pass_obj
-def predict(cfg: Config, text, tts_ckpt, vocoder_ckpt, out_dir, max_frames,
-            seed, mode):
-    """Text -> wav using trained checkpoints (Griffin-Lim if no vocoder)."""
+def _load_synthesizer(cfg: Config, tts_ckpt, vocoder_ckpt, max_frames, mode):
+    """Build a Synthesizer from (optional) checkpoint dirs — shared by the
+    ``predict`` and ``serve`` verbs."""
     import dataclasses
 
     import jax
 
-    from rtts.audio.wav import write_wav
     from rtts.infer.synthesize import Synthesizer
     from rtts.models import reformer_tts as M
     from rtts.models import squeezewave as SW
@@ -160,9 +146,80 @@ def predict(cfg: Config, text, tts_ckpt, vocoder_ckpt, out_dir, max_frames,
         click.echo(f"loaded vocoder step {step} from {path}")
 
     cfg2 = dataclasses.replace(cfg, model=model_cfg)
-    syn = Synthesizer(cfg2, params, voc_params, max_frames=max_frames,
-                      mode=mode)
+    return Synthesizer(cfg2, params, voc_params, max_frames=max_frames,
+                       mode=mode)
+
+
+@cli.command()
+@click.option("--text", required=True, multiple=True,
+              help="text to synthesize (repeatable)")
+@click.option("--tts-ckpt", default=None, help="TTS checkpoint dir")
+@click.option("--vocoder-ckpt", default=None, help="vocoder checkpoint dir")
+@click.option("--out", "out_dir", default="synth_out")
+@click.option("--max-frames", default=1024)
+@click.option("--seed", default=0)
+@click.option("--mode", default="auto",
+              type=click.Choice(["kv_full", "kv_lsh", "kv_lsh_chunk",
+                                 "auto"]),
+              help="AR decode cache strategy")
+@click.pass_obj
+def predict(cfg: Config, text, tts_ckpt, vocoder_ckpt, out_dir, max_frames,
+            seed, mode):
+    """Text -> wav using trained checkpoints (Griffin-Lim if no vocoder)."""
+    from rtts.audio.wav import write_wav
+
+    syn = _load_synthesizer(cfg, tts_ckpt, vocoder_ckpt, max_frames, mode)
     wavs = syn(list(text), seed=seed)
+    out = pathlib.Path(out_dir)
+    for i, w in enumerate(wavs):
+        p = out / f"sample_{i}.wav"
+        write_wav(p, w, cfg.dataset.audio.sample_rate)
+        click.echo(f"wrote {p} ({len(w)} samples)")
+
+
+@cli.command()
+@click.option("--texts-file", type=click.Path(exists=True), default=None,
+              help="file with one request per line")
+@click.option("--text", multiple=True, help="inline request (repeatable)")
+@click.option("--tts-ckpt", default=None, help="TTS checkpoint dir")
+@click.option("--vocoder-ckpt", default=None, help="vocoder checkpoint dir")
+@click.option("--out", "out_dir", default="serve_out")
+@click.option("--max-frames", default=1024,
+              help="hard per-request frame cap (largest capacity class)")
+@click.option("--strategy", default="continuous",
+              type=click.Choice(["continuous", "bucketed"]),
+              help="continuous = slot-recycling capacity-classed pool "
+                   "(serve_pool); bucketed = synchronous length buckets")
+@click.option("--slots", default=8, help="concurrent decode slots per class")
+@click.option("--frames-per-token", default=8.0,
+              help="length-prediction heuristic (frames per text token)")
+@click.option("--seed", default=0)
+@click.pass_obj
+def serve(cfg: Config, texts_file, text, tts_ckpt, vocoder_ckpt, out_dir,
+          max_frames, strategy, slots, frames_per_token, seed):
+    """Batch-serve many texts -> wavs with variable-length batching.
+
+    The offline counterpart of the serving engine (SURVEY.md §4.3): reads
+    the whole request list, routes each request to a capacity class by
+    predicted length, and decodes with continuous slot recycling
+    (``Synthesizer.serve_continuous`` — measured 1.57x over pad-to-max on
+    mixed-length traffic, BENCH.md) or synchronous length buckets
+    (``Synthesizer.serve``)."""
+    from rtts.audio.wav import write_wav
+
+    texts = list(text)
+    if texts_file:
+        with open(texts_file) as f:
+            texts += [line.strip() for line in f if line.strip()]
+    if not texts:
+        raise click.UsageError("no requests: pass --texts-file and/or --text")
+    syn = _load_synthesizer(cfg, tts_ckpt, vocoder_ckpt, max_frames, "auto")
+    if strategy == "continuous":
+        wavs = syn.serve_continuous(texts, seed=seed, slots=slots,
+                                    frames_per_token=frames_per_token)
+    else:
+        wavs = syn.serve(texts, seed=seed,
+                         frames_per_token=frames_per_token)
     out = pathlib.Path(out_dir)
     for i, w in enumerate(wavs):
         p = out / f"sample_{i}.wav"

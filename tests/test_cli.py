@@ -11,7 +11,7 @@ def test_help_lists_verbs():
     r = CliRunner().invoke(cli, ["--help"])
     assert r.exit_code == 0
     for verb in ["download", "generate-corpus", "preprocess", "train-tts",
-                 "train-vocoder", "predict", "bench"]:
+                 "train-vocoder", "predict", "serve", "bench"]:
         assert verb in r.output
 
 
@@ -43,3 +43,37 @@ def test_download_offline_error_is_actionable(tmp_path):
                                  "--out", str(tmp_path)])
     assert r.exit_code != 0
     assert "generate_corpus" in str(r.exception)
+
+
+def test_serve_verb_writes_wavs(tmp_path):
+    """End-to-end `serve` verb: texts file -> one wav per request via the
+    continuous-batching pool (random init, Griffin-Lim fallback)."""
+    tf = tmp_path / "texts.txt"
+    tf.write_text("hello there\n\na second longer request for the pool\n")
+    out = tmp_path / "out"
+    tiny = [
+        "model.d_model=32", "model.n_mels=20", "model.dec_prenet_hidden=16",
+        "model.postnet_channels=16", "model.max_pos=256",
+        "model.compute_dtype=float32", "model.stop_threshold=2.0",
+        "dataset.audio.n_mels=20",
+    ]
+    for stack in ("encoder", "decoder"):
+        tiny += [f"model.{stack}.num_layers=1", f"model.{stack}.d_model=32",
+                 f"model.{stack}.d_ff=64", f"model.{stack}.attention.kind=full",
+                 f"model.{stack}.attention.num_heads=2",
+                 f"model.{stack}.attention.head_dim=16"]
+    tiny += ["model.encoder.causal=false", "model.decoder.causal=true"]
+    args = []
+    for o in tiny:
+        args += ["-o", o]
+    r = CliRunner().invoke(cli, args + [
+        "serve", "--texts-file", str(tf), "--text", "an inline one",
+        "--out", str(out), "--max-frames", "64", "--slots", "2",
+        "--frames-per-token", "2.0"])
+    assert r.exit_code == 0, r.output
+    wavs = sorted(out.glob("sample_*.wav"))
+    assert len(wavs) == 3          # 2 file lines (blank skipped) + 1 inline
+
+    # no requests at all -> usage error
+    r = CliRunner().invoke(cli, args + ["serve"])
+    assert r.exit_code != 0
