@@ -116,6 +116,47 @@ def _self_attn_step_ring(p, h_t, k_cache, v_cache, pos_buf, offsets, t,
     return dense(p["w_o"], out, cdt), k_cache, v_cache, pos_buf
 
 
+def _ring_decode_frame(params, cfg: ReformerTTSConfig, prev_frame, offsets,
+                       t, rng, k_caches, v_caches, pos_buf, mem_k, mem_v,
+                       memory_mask, pos_table, pos_alpha, cdt):
+    """One decoder frame over ring KV caches with per-slot admission
+    offsets — the slot step shared by ``ServingEngine``'s segment loop and
+    the fused ``serve_batch`` scheduler (their numerics-match guarantee is
+    this shared body, not hand-kept duplication).  Returns
+    (group, stop_logit, k_caches, v_caches, pos_buf)."""
+    num_heads = cfg.decoder.attention.num_heads
+    p_rel = t - offsets
+    key = jax.random.fold_in(rng, t)
+    h = prenet_mlp(params["dec_prenet"], prev_frame.astype(cdt), key,
+                   cfg.dec_prenet_dropout, always_dropout=True,
+                   deterministic=True, compute_dtype=cdt)
+    max_pos = pos_table.shape[0]
+    pe = jnp.take(pos_table, jnp.clip(p_rel, 0, max_pos - 1), axis=0)
+    h = h + pos_alpha.astype(h.dtype) * pe.astype(h.dtype)
+
+    k_list, v_list = list(k_caches), list(v_caches)
+    # pos_buf is shared by all layers: only the running step's writes
+    # mutate it (every layer writes the same value)
+    pos_box = [pos_buf]
+
+    def self_attn(ci, p, hh):
+        out, k_list[ci], v_list[ci], pb = _self_attn_step_ring(
+            p, hh, k_list[ci], v_list[ci], pos_box[0], offsets, t,
+            num_heads, cdt)
+        pos_box[0] = pb
+        return out
+
+    def cross(xi, p, hh):
+        return _cross_attn_step(p, hh, mem_k[xi], mem_v[xi], memory_mask,
+                                num_heads, cdt)
+
+    y = _stack_substep(params, cfg, h, cdt, self_attn, cross)
+    group = dense(params["mel_head"], y, cdt).astype(jnp.float32)
+    stop_logit = dense(params["stop_head"], y,
+                       cdt)[..., 0].astype(jnp.float32)
+    return group, stop_logit, tuple(k_list), tuple(v_list), pos_box[0]
+
+
 class EngineState(NamedTuple):
     """Device-resident engine state carried across segments."""
 
@@ -147,11 +188,9 @@ def _make_segment_fn(cfg: ReformerTTSConfig, segment: int, stop_threshold):
     cdt = _dtype(cfg.compute_dtype)
     r = cfg.reduction_factor
     n_mels = cfg.n_mels
-    num_heads = cfg.decoder.attention.num_heads
 
     def run(params, state: EngineState, rng):
         pos_table, pos_alpha = _pos_table(params, cfg)
-        max_pos = pos_table.shape[0]
         B = state.done.shape[0]
         cap = state.pos_buf.shape[0]
         rows = jnp.arange(B)[:, None]
@@ -160,36 +199,13 @@ def _make_segment_fn(cfg: ReformerTTSConfig, segment: int, stop_threshold):
             i, state = carry
             t = state.t
             p_rel = t - state.offsets                     # (B,) slot position
-            key = jax.random.fold_in(rng, t)
-            h = prenet_mlp(params["dec_prenet"],
-                           state.prev_frame.astype(cdt), key,
-                           cfg.dec_prenet_dropout, always_dropout=True,
-                           deterministic=True, compute_dtype=cdt)
-            pe = jnp.take(pos_table, jnp.clip(p_rel, 0, max_pos - 1), axis=0)
-            h = h + pos_alpha.astype(h.dtype) * pe.astype(h.dtype)
-
-            k_caches = list(state.k_caches)
-            v_caches = list(state.v_caches)
-            pos_box = [state.pos_buf]
-
-            def self_attn(ci, p, hh):
-                # pos_buf is shared by all layers: only the first layer's
-                # step writes it (every layer writes the same value)
-                out, k_caches[ci], v_caches[ci], pb = _self_attn_step_ring(
-                    p, hh, k_caches[ci], v_caches[ci], pos_box[0],
-                    state.offsets, t, num_heads, cdt)
-                pos_box[0] = pb
-                return out
-
-            def cross(xi, p, hh):
-                return _cross_attn_step(p, hh, state.mem_k[xi],
-                                        state.mem_v[xi], state.memory_mask,
-                                        num_heads, cdt)
-
-            y = _stack_substep(params, cfg, h, cdt, self_attn, cross)
-            group = dense(params["mel_head"], y, cdt).astype(jnp.float32)
-            stop_logit = dense(params["stop_head"], y,
-                               cdt)[..., 0].astype(jnp.float32)
+            group, stop_logit, k_caches, v_caches, pos_buf = \
+                _ring_decode_frame(params, cfg, state.prev_frame,
+                                   state.offsets, t, rng, state.k_caches,
+                                   state.v_caches, state.pos_buf,
+                                   state.mem_k, state.mem_v,
+                                   state.memory_mask, pos_table, pos_alpha,
+                                   cdt)
 
             # already-done slots write their garbage to the spare group
             # `cap` so an unharvested utterance is never overwritten
@@ -203,8 +219,8 @@ def _make_segment_fn(cfg: ReformerTTSConfig, segment: int, stop_threshold):
             lengths = jnp.where(state.done, state.lengths, (p_rel + 1) * r)
             state = state._replace(
                 t=t + 1, done=state.done | newly, lengths=lengths,
-                prev_frame=group, pos_buf=pos_box[0],
-                k_caches=tuple(k_caches), v_caches=tuple(v_caches),
+                prev_frame=group, pos_buf=pos_buf,
+                k_caches=k_caches, v_caches=v_caches,
                 mel_out=mel_out)
             return i + 1, state
 
@@ -246,6 +262,11 @@ class ServingEngine:
                  stop_threshold: Optional[float] = None, seed: int = 0):
         mcfg = cfg.model
         r = mcfg.reduction_factor
+        if slots < 1 or capacity_frames < r or segment_frames < r:
+            raise ValueError(
+                f"slots/capacity_frames/segment_frames must be positive "
+                f"(>= reduction_factor {r}); got {slots}/{capacity_frames}/"
+                f"{segment_frames} — a zero value would loop forever")
         if capacity_frames % r:
             raise ValueError(f"capacity_frames {capacity_frames} not a "
                              f"multiple of reduction_factor {r}")
@@ -346,7 +367,10 @@ class ServingEngine:
                                  mel.astype(self.cdt), None, True,
                                  self.cdt,
                                  frame_mask=frame_mask).astype(jnp.float32)
-        return mel + residual
+        # mask the OUTPUT too: a recycled slot's mel_out row still holds its
+        # previous occupant's frames past the new utterance's length, and the
+        # fetch=False contract promises zero beyond each length
+        return (mel + residual) * frame_mask[..., None]
 
     # -------------------------------------------------------------- API --
     def submit(self, text: str, budget_frames: Optional[int] = None) -> int:
@@ -532,6 +556,12 @@ def serve_batch(params, cfg: ReformerTTSConfig, tokens: jnp.ndarray,
     cdt = _dtype(cfg.compute_dtype)
     kdt = _kv_dtype(cfg, cdt)
     r = cfg.reduction_factor
+    if slots < 1 or capacity_frames < r or segment_frames < r:
+        raise ValueError(
+            f"slots/capacity_frames/segment_frames must be positive "
+            f"(>= reduction_factor {r}); got {slots}/{capacity_frames}/"
+            f"{segment_frames} — a zero value would compile an infinite "
+            f"while_loop")
     if capacity_frames % r:
         raise ValueError(f"capacity_frames {capacity_frames} not a multiple "
                          f"of reduction_factor {r}")
@@ -559,7 +589,6 @@ def serve_batch(params, cfg: ReformerTTSConfig, tokens: jnp.ndarray,
     budgets_g = jnp.clip((budgets + r - 1) // r, 1, C).astype(jnp.int32)
 
     pos_table, pos_alpha = _pos_table(params, cfg)
-    max_pos = pos_table.shape[0]
     cache = (S, C, num_heads, a.head_dim)
     state = _BatchState(
         t=jnp.asarray(0, jnp.int32),
@@ -613,33 +642,11 @@ def serve_batch(params, cfg: ReformerTTSConfig, tokens: jnp.ndarray,
     def step(_, state: _BatchState) -> _BatchState:
         t = state.t
         p_rel = t - state.offsets
-        key = jax.random.fold_in(rng, t)
-        h = prenet_mlp(params["dec_prenet"], state.prev_frame.astype(cdt),
-                       key, cfg.dec_prenet_dropout, always_dropout=True,
-                       deterministic=True, compute_dtype=cdt)
-        pe = jnp.take(pos_table, jnp.clip(p_rel, 0, max_pos - 1), axis=0)
-        h = h + pos_alpha.astype(h.dtype) * pe.astype(h.dtype)
-
-        k_caches = list(state.k_caches)
-        v_caches = list(state.v_caches)
-        pos_box = [state.pos_buf]
-
-        def self_attn(ci, p, hh):
-            out, k_caches[ci], v_caches[ci], pb = _self_attn_step_ring(
-                p, hh, k_caches[ci], v_caches[ci], pos_box[0],
-                state.offsets, t, num_heads, cdt)
-            pos_box[0] = pb
-            return out
-
-        def cross(xi, p, hh):
-            return _cross_attn_step(p, hh, state.mem_k_s[xi],
-                                    state.mem_v_s[xi], state.mmask_s,
-                                    num_heads, cdt)
-
-        y = _stack_substep(params, cfg, h, cdt, self_attn, cross)
-        group = dense(params["mel_head"], y, cdt).astype(jnp.float32)
-        stop_logit = dense(params["stop_head"], y,
-                           cdt)[..., 0].astype(jnp.float32)
+        group, stop_logit, k_caches, v_caches, pos_buf = _ring_decode_frame(
+            params, cfg, state.prev_frame, state.offsets, t, rng,
+            state.k_caches, state.v_caches, state.pos_buf,
+            state.mem_k_s, state.mem_v_s, state.mmask_s, pos_table,
+            pos_alpha, cdt)
 
         # already-done slots scatter into their spare row; a slot whose stop
         # fires THIS step still writes its final real frame (done is the
@@ -657,8 +664,8 @@ def serve_batch(params, cfg: ReformerTTSConfig, tokens: jnp.ndarray,
             jnp.where(fin, (p_rel + 1) * r, 0), unique_indices=True)
         return state._replace(
             t=t + 1, done=state.done | newly, prev_frame=group,
-            pos_buf=pos_box[0], k_caches=tuple(k_caches),
-            v_caches=tuple(v_caches), out=out, lengths=lengths)
+            pos_buf=pos_buf, k_caches=k_caches,
+            v_caches=v_caches, out=out, lengths=lengths)
 
     def boundary(state: _BatchState) -> _BatchState:
         state = admit(state)
@@ -738,6 +745,10 @@ def serve_pool(params, cfg: ReformerTTSConfig, tokens: np.ndarray,
     N = len(budgets)
     mels: List[Any] = [None] * N
     lengths = np.zeros((N,), np.int32)
+    # dispatch every class first (jax dispatch is async), THEN fetch the
+    # lengths — blocking on class k before dispatching k+1 would serialize
+    # device work that is independent across classes
+    pending: List[Tuple[List[int], Any, Any]] = []
     for ci, cap in enumerate(caps):
         lo = caps[ci - 1] if ci else 0
         idx = [i for i in range(N) if lo < budgets[i] <= cap]
@@ -749,6 +760,8 @@ def serve_pool(params, cfg: ReformerTTSConfig, tokens: np.ndarray,
             capacity_frames=cap, slots=slots,
             segment_frames=min(segment_frames, cap),
             stop_threshold=stop_threshold, rng=jax.random.fold_in(rng, cap))
+        pending.append((idx, mel_c, len_c))
+    for idx, mel_c, len_c in pending:
         len_np = np.asarray(len_c)
         for j, i in enumerate(idx):
             mels[i] = mel_c[j]

@@ -9,6 +9,7 @@ receive a waveform.  The decode function is compiled once per
 from __future__ import annotations
 
 import functools
+import math
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -116,6 +117,14 @@ class Synthesizer:
 
     # -- variable-length serving batching (SURVEY.md §4.3 serving loop) -----
 
+    def _frame_quantum(self) -> int:
+        """Frame budgets and capacity classes quantize to lcm(64, r): 64 is
+        the chunk/stage alignment, r the reduction factor (a serve_batch
+        capacity must divide by r).  One definition shared by
+        ``predict_frames`` and ``serve_continuous_to_mel``."""
+        r = self.cfg.model.reduction_factor
+        return 64 * r // math.gcd(64, r)
+
     def predict_frames(self, texts: Sequence[str],
                        frames_per_token: float = 8.0,
                        min_frames: int = 64) -> List[int]:
@@ -128,13 +137,10 @@ class Synthesizer:
         factor; ``frames_per_token`` should slightly OVERestimate the
         trained speech rate — underestimates are caught and escalated by
         ``serve_to_mel``."""
-        import math
-
         from rtts.text import token_lengths
 
         tcfg = self.cfg.dataset.text
-        m = 64 * self.cfg.model.reduction_factor // math.gcd(
-            64, self.cfg.model.reduction_factor)
+        m = self._frame_quantum()
         out = []
         for n_tok in token_lengths(texts, cleaner=tcfg.cleaner,
                                    level=tcfg.level):
@@ -224,19 +230,16 @@ class Synthesizer:
         round-trip."""
         from rtts.infer.serving import serve_pool
 
-        import math
-
         tcfg = self.cfg.dataset.text
         budgets = self.predict_frames(texts, frames_per_token, min_frames)
         tokens, mask = encode_batch(texts, cleaner=tcfg.cleaner,
                                     pad_to_multiple=tcfg.pad_to_multiple,
                                     max_len=tcfg.max_len, level=tcfg.level)
         # power-of-two capacity classes, rounded up to the same quantum as
-        # predict_frames (multiples of 64 and the reduction factor — a
-        # serve_batch capacity must divide by r); the top class covers
-        # max_frames even when max_frames itself is off-quantum
+        # predict_frames; the top class covers max_frames even when
+        # max_frames itself is off-quantum
         r = self.cfg.model.reduction_factor
-        m = 64 * r // math.gcd(64, r)
+        m = self._frame_quantum()
         top = -(-self.max_frames // m) * m
         caps = tuple(sorted({-(-c // m) * m for c in
                              (128, 256, 512, 1024, 2048, 4096, 8192)
@@ -260,14 +263,17 @@ class Synthesizer:
                     and budgets[i] < self.max_frames):
                 needs_full.append(i)   # budget may have truncated the stop
             else:
-                mels[i] = np.asarray(dmels[i])[:li] if fetch else dmels[i]
+                # slice on DEVICE before fetching: transferring the full
+                # class-capacity row costs cap/li times the bytes on the
+                # slow device->host path
+                mels[i] = np.asarray(dmels[i][:li]) if fetch else dmels[i]
                 lengths[i] = li
         if needs_full:
             dmels, lens = run(tokens[needs_full], mask[needs_full],
                               [self.max_frames] * len(needs_full))
             for j, i in enumerate(needs_full):
                 li = int(lens[j])
-                mels[i] = np.asarray(dmels[j])[:li] if fetch else dmels[j]
+                mels[i] = np.asarray(dmels[j][:li]) if fetch else dmels[j]
                 lengths[i] = li
         return mels, lengths
 

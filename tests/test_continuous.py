@@ -276,3 +276,41 @@ def test_shape_validation():
     eng = _engine(cfg1, params1)
     with pytest.raises(ValueError):
         eng.submit_tokens(np.ones((1, 8), np.int32), np.ones((1, 8), bool))
+
+
+def test_recycled_slot_row_is_zero_beyond_length():
+    """fetch=False contract: a recycled slot's device row must be ZERO past
+    the new utterance's length — the previous occupant's frames may not
+    leak into the padding region fed to a batched vocoder."""
+    cfg = _cfg(stop_threshold=2.0)
+    params = M.init(jax.random.PRNGKey(0), cfg.model)
+    eng = _engine(cfg, params, slots=1, capacity_frames=64,
+                  segment_frames=16)
+    ta, ma = _tokens(7)
+    tb, mb = _tokens(8)
+    rid_a = eng.submit_tokens(ta, ma, budget_frames=48)  # long occupant
+    rid_b = eng.submit_tokens(tb, mb, budget_frames=16)  # short, recycled
+    results = eng.run_until_drained(fetch=False)
+    row_b, len_b = results[rid_b]
+    assert len_b == 16
+    row_b = np.asarray(row_b)
+    assert row_b.shape[0] == 64
+    assert np.abs(row_b[:len_b]).max() > 0          # real frames inside
+    np.testing.assert_array_equal(row_b[len_b:], 0.0)
+    row_a, len_a = results[rid_a]
+    np.testing.assert_array_equal(np.asarray(row_a)[len_a:], 0.0)
+
+
+def test_zero_args_rejected():
+    """slots/capacity/segment of 0 must raise, not loop forever."""
+    from rtts.infer.serving import serve_batch
+
+    cfg = _cfg()
+    params = M.init(jax.random.PRNGKey(0), cfg.model)
+    for kw in ({"segment_frames": 0}, {"capacity_frames": 0}, {"slots": 0}):
+        with pytest.raises(ValueError):
+            _engine(cfg, params, **kw)
+    t, m = _tokens(1)
+    with pytest.raises(ValueError):
+        serve_batch(params, cfg.model, jnp.asarray(t), jnp.asarray(m),
+                    jnp.asarray([16]), capacity_frames=64, slots=0)
