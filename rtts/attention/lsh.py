@@ -92,7 +92,8 @@ def hash_vectors(
     b, h, l, d = vecs.shape
     factors = [num_buckets] if isinstance(num_buckets, int) else list(num_buckets)
     for f in factors:
-        assert f % 2 == 0, f"bucket factors must be even, got {f}"
+        if f % 2 != 0:   # not assert: must survive python -O — an odd factor
+            raise ValueError(f"bucket factors must be even, got {f}")
     rot_size = sum(factors)
     rot = rotations if rotations is not None else jax.random.normal(
         rng, (h, d, n_hashes, rot_size // 2), dtype=jnp.float32)
@@ -243,17 +244,28 @@ def lsh_attention_core(
     c = cfg.chunk_length
     nh = cfg.num_hashes
     drop_active = dropout_rng is not None and cfg.attention_dropout > 0.0
-    if attend_fn is None:
-        attend_fn = lsh_attend_chunks if drop_active else _pick_attend_fn(cfg)
     if drop_active:
         import functools
 
+        # the Pallas kernel has no dropout support: active dropout forces
+        # the jnp attend stage even over an explicitly passed attend_fn
+        # (binding dropout kwargs onto a kernel would TypeError at trace)
         attend_fn = functools.partial(
-            attend_fn, dropout_rate=cfg.attention_dropout,
+            lsh_attend_chunks, dropout_rate=cfg.attention_dropout,
             dropout_rng=dropout_rng)
+    elif attend_fn is None:
+        attend_fn = _pick_attend_fn(cfg)
     if l % c != 0:
         raise ValueError(f"seq len {l} not a multiple of chunk {c} (autopad upstream)")
     nb = cfg.num_buckets or auto_num_buckets(l, c)
+    if (total_buckets(nb) + 1) * l > 2**31 - 1:
+        # _sort_by_bucket's stable-sort key is bucket * L + pos in int32; an
+        # overflow would wrap negative and SILENTLY order slots across
+        # unrelated buckets
+        raise ValueError(
+            f"int32 sort-key overflow: (total_buckets+1) * seq_len = "
+            f"{(total_buckets(nb) + 1) * l} > 2^31-1 — reduce num_buckets "
+            f"({nb}) or the sequence length ({l})")
 
     if buckets is None:
         buckets = hash_vectors(qk, nb, nh, rng, mask)            # (B,H,nh,L)
@@ -347,11 +359,14 @@ def lsh_self_attention(
     backward, which replays with the same aux rng, reproduces the exact mask.
     """
     l = x.shape[1]
+    # dropout requires a CALLER rng: with rng=None a substituted constant
+    # key would apply the identical mask every step (local.py skips too)
+    drop_rng = (jax.random.fold_in(rng, 7)
+                if (rng is not None and not deterministic
+                    and cfg.attention_dropout > 0.0)
+                else None)
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    drop_rng = (jax.random.fold_in(rng, 7)
-                if (not deterministic and cfg.attention_dropout > 0.0)
-                else None)
     if l <= cfg.chunk_length:
         # reference fallback: full softmax attention for short sequences
         out = shared_qk_self_attention(params, x, mask=mask, causal=causal,

@@ -349,6 +349,17 @@ def _coerce(value: Any, tp) -> Any:
             return None
         return _coerce(value, _unwrap_optional(tp))
     origin = typing.get_origin(tp)
+    if origin is Union:
+        # non-Optional Union (e.g. num_buckets: int | List[int]): the value
+        # must coerce under at least ONE member — don't let it bypass the
+        # strict checking every plain field gets
+        errs = []
+        for member in typing.get_args(tp):
+            try:
+                return _coerce(value, member)
+            except (TypeError, ValueError, KeyError) as e:
+                errs.append(str(e))
+        raise TypeError(f"value {value!r} matches no member of {tp}: {errs}")
     if dataclasses.is_dataclass(tp):
         if isinstance(value, tp):
             return value
@@ -356,13 +367,25 @@ def _coerce(value: Any, tp) -> Any:
             raise TypeError(f"expected mapping for {tp.__name__}, got {value!r}")
         return from_dict(tp, value)
     if origin in (list, List):
+        if not isinstance(value, (list, tuple)):
+            raise TypeError(f"expected list, got {type(value).__name__}: "
+                            f"{value!r}")
         (elem_tp,) = typing.get_args(tp) or (Any,)
         return [_coerce(v, elem_tp) for v in value]
     if origin in (tuple, Tuple):
+        if not isinstance(value, (list, tuple)):
+            raise TypeError(f"expected list/tuple, got "
+                            f"{type(value).__name__}: {value!r}")
         args = typing.get_args(tp)
         if len(args) == 2 and args[1] is Ellipsis:
             return tuple(_coerce(v, args[0]) for v in value)
+        if len(value) != len(args):   # zip would silently truncate
+            raise TypeError(f"expected {len(args)} elements for {tp}, "
+                            f"got {len(value)}: {value!r}")
         return tuple(_coerce(v, t) for v, t in zip(value, args))
+    if tp in (int, float) and isinstance(value, bool):
+        # bool is an int subclass: `num_layers: true` must not mean 1
+        raise TypeError(f"expected {tp.__name__}, got bool: {value!r}")
     if tp is float and isinstance(value, int):
         return float(value)
     if tp is int and isinstance(value, float) and value.is_integer():
@@ -433,8 +456,20 @@ def apply_overrides(data: dict, overrides: List[str]) -> dict:
         key, _, raw = ov.partition("=")
         node = out
         parts = key.strip().split(".")
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
+        for i, p in enumerate(parts[:-1]):
+            nxt = node.setdefault(p, {})
+            if not isinstance(nxt, dict):
+                # a YAML null/scalar at an intermediate path node: replace it
+                # (overriding `model: null` with model.d_model=256 should
+                # work, not AttributeError on None.setdefault)
+                if nxt is None:
+                    nxt = node[p] = {}
+                else:
+                    raise ValueError(
+                        f"cannot override {key!r}: "
+                        f"{'.'.join(parts[:i + 1])!r} is {nxt!r}, not a "
+                        f"mapping")
+            node = nxt
         node[parts[-1]] = _parse_scalar(raw)
     return out
 

@@ -214,3 +214,54 @@ def test_seq_parallel_rejects_attention_dropout():
            "rng_f": jax.random.PRNGKey(0), "rng_g": jax.random.PRNGKey(1)}
     with pytest.raises(NotImplementedError):
         f(params["f"], x, None, aux, None)
+
+
+def test_lsh_dropout_with_explicit_attend_fn_forces_jnp_stage():
+    """An explicitly passed attend_fn (e.g. the Pallas kernel, which has no
+    dropout kwargs) must not get dropout kwargs partial-bound onto it —
+    active dropout forces the jnp attend stage instead of TypeError-ing."""
+    from rtts.attention.lsh import lsh_attention_core
+
+    cfg = _attn_cfg(p=0.5)
+    l, d = 64, 32
+    qk = jax.random.normal(jax.random.PRNGKey(0), (1, 2, l, 16))
+    v = jax.random.normal(jax.random.PRNGKey(1), (1, 2, l, 16))
+
+    def kernel_without_dropout_kwargs(q, k, vv, q_pos, k_valid, causal,
+                                      before, after, mv, smv):
+        raise AssertionError("must not be called when dropout is active")
+
+    out, _ = lsh_attention_core(
+        qk, v, cfg, None, True, jax.random.PRNGKey(2),
+        attend_fn=kernel_without_dropout_kwargs,
+        dropout_rng=jax.random.PRNGKey(3))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_lsh_rng_none_skips_dropout():
+    """rng=None + deterministic=False must SKIP dropout (as local.py does),
+    not apply a constant PRNGKey(0)-derived mask every call."""
+    from rtts.attention.full import attention_init
+
+    cfg = _attn_cfg(p=0.5)
+    params = attention_init(jax.random.PRNGKey(0), 32, 2, 16, shared_qk=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 32))
+    out_det, _ = lsh_self_attention(params, x, None, True, cfg,
+                                    rng=None, deterministic=True)
+    out_nd, _ = lsh_self_attention(params, x, None, True, cfg,
+                                   rng=None, deterministic=False)
+    np.testing.assert_array_equal(np.asarray(out_det), np.asarray(out_nd))
+
+
+def test_sort_key_overflow_raises():
+    """Factorized bucket counts big enough to wrap the int32 sort key must
+    raise at trace time, not silently attend across unrelated buckets."""
+    from rtts.attention.lsh import lsh_attention_core
+    from rtts.config import AttentionConfig
+
+    cfg = AttentionConfig(kind="lsh", num_heads=1, head_dim=8, num_hashes=1,
+                          chunk_length=16, num_buckets=[65536, 65536])
+    qk = jnp.zeros((1, 1, 1024, 8))
+    v = jnp.zeros((1, 1, 1024, 8))
+    with pytest.raises(ValueError, match="overflow"):
+        lsh_attention_core(qk, v, cfg, None, True, jax.random.PRNGKey(0))

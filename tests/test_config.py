@@ -58,3 +58,34 @@ def test_config_frozen():
     cfg = Config()
     with pytest.raises(dataclasses.FrozenInstanceError):
         cfg.model = None  # type: ignore[misc]
+
+
+def test_union_fields_are_type_checked():
+    """num_buckets: Union[int, List[int], None] — a bad value must fail at
+    load time, not deep inside jit tracing."""
+    ok = from_dict(Config, {"model": {"encoder": {"attention": {
+        "num_buckets": [4, 4]}}}})
+    assert ok.model.encoder.attention.num_buckets == [4, 4]
+    ok2 = from_dict(Config, {"model": {"encoder": {"attention": {
+        "num_buckets": 64}}}})
+    assert ok2.model.encoder.attention.num_buckets == 64
+    with pytest.raises(TypeError):
+        from_dict(Config, {"model": {"encoder": {"attention": {
+            "num_buckets": "64"}}}})
+
+
+def test_bool_rejected_for_numeric_fields():
+    """bool is an int subclass; `num_layers: true` must not mean 1."""
+    with pytest.raises(TypeError):
+        from_dict(Config, {"model": {"encoder": {"num_layers": True}}})
+    with pytest.raises(TypeError):
+        from_dict(Config, {"experiment": {"optim": {"learning_rate": True}}})
+
+
+def test_override_through_null_and_scalar_nodes():
+    # a null intermediate is replaced by a mapping
+    data = apply_overrides({"model": None}, ["model.d_model=256"])
+    assert data["model"]["d_model"] == 256
+    # a scalar intermediate is a loud error, not AttributeError
+    with pytest.raises(ValueError, match="not a mapping"):
+        apply_overrides({"model": 3}, ["model.d_model=256"])
