@@ -528,7 +528,8 @@ def bench_continuous(cfg: Optional[Config] = None, repeats: int = 3,
         for start in range(0, len(order), slots):
             idx = order[start:start + slots]
             if len(idx) < slots:   # pad the tail batch to the slot count
-                idx = idx + idx[: slots - len(idx)]
+                # cycle: one slice would under-fill when tail < slots/2
+                idx = (idx * ((slots // len(idx)) + 1))[:slots]
             _sync(run_batch(params, jnp.asarray(tokens_all[idx]),
                             jnp.asarray(masks_all[idx]),
                             mf=frame_caps[start // slots]))
@@ -800,19 +801,21 @@ def bench_kernels(repeats: int = 5) -> Dict[str, Any]:
     pos_c = sorted_pos.reshape(b, h, nc, c)
     val_c = jnp.ones((b, h, nc, c), bool)
 
-    ref_fn = lambda q, k, v: lsh_attend_chunks(q, k, v, pos_c, val_c,
-                                               True, 1, 0)[0]
-    pl_fn = lambda q, k, v: lsh_attend_chunks_pallas(
-        q, k, v, pos_c, val_c, True, 1, 0, interpret=not on_tpu)[0]
-    kv = (k_c, v_c)
+    # pos_c/val_c ride as jit ARGUMENTS too (CLAUDE.md rule: closure
+    # constants distort custom-call timing on this backend)
+    ref_fn = lambda q, k, v, pc, vc: lsh_attend_chunks(q, k, v, pc, vc,
+                                                       True, 1, 0)[0]
+    pl_fn = lambda q, k, v, pc, vc: lsh_attend_chunks_pallas(
+        q, k, v, pc, vc, True, 1, 0, interpret=not on_tpu)[0]
+    kv = (k_c, v_c, pos_c, val_c)
     t_ref = _time_loop(ref_fn, q_c, kv, repeats=repeats)
     t_pl = _time_loop(pl_fn, q_c, kv, repeats=repeats)
     results["lsh_attend_fwd"] = {"xla_ms": t_ref * 1e3, "pallas_ms": t_pl * 1e3,
                                  "speedup": t_ref / t_pl}
-    g_ref = lambda q, k, v: jax.grad(
-        lambda a: ref_fn(a, k, v).astype(jnp.float32).sum())(q)
-    g_pl = lambda q, k, v: jax.grad(
-        lambda a: pl_fn(a, k, v).astype(jnp.float32).sum())(q)
+    g_ref = lambda q, k, v, pc, vc: jax.grad(
+        lambda a: ref_fn(a, k, v, pc, vc).astype(jnp.float32).sum())(q)
+    g_pl = lambda q, k, v, pc, vc: jax.grad(
+        lambda a: pl_fn(a, k, v, pc, vc).astype(jnp.float32).sum())(q)
     t_ref = _time_loop(g_ref, q_c, kv, repeats=repeats)
     t_pl = _time_loop(g_pl, q_c, kv, repeats=repeats)
     results["lsh_attend_fwdbwd"] = {"xla_ms": t_ref * 1e3,
@@ -886,7 +889,11 @@ def run_bench(cfg: Optional[Config] = None, which: str = "e2e") -> str:
                 "vs_baseline": round(TARGET_RTF / r["vocoder_rtf"], 4),
                 "detail": r}
     elif which == "longform":
+        # deliberately ignores the caller cfg: the 8k-frame scenario needs
+        # its own max_pos/length config (longform_bench_config) — say so in
+        # the output instead of silently substituting
         r = bench_longform()
+        r["config_note"] = "fixed longform_bench_config (caller cfg ignored)"
         line = {"metric": "longform_8k_decode_frames_per_sec",
                 "value": round(r["frames_per_sec"], 2), "unit": "frames/s",
                 "vs_baseline": round(TARGET_RTF / r["rtf"], 4),

@@ -151,7 +151,7 @@ def _self_attn_step(p, h_t, k_cache, v_cache, t, num_heads, cdt):
 
 
 def _self_attn_step_lsh(p, h_t, k_cache, v_cache, b_cache, rotations, t,
-                        num_heads, cdt, num_buckets):
+                        num_heads, cdt):
     """LSH-cached incremental self-attention (SURVEY.md §3.2 "Incremental
     decoding cache", TPU reformulation of the HF bucket-cache scheme).
 
@@ -350,18 +350,25 @@ class DecodeResult(NamedTuple):
 
 def _init_mem_kv(params, cfg: ReformerTTSConfig, memory, cdt):
     """Precompute cross-attention K/V per decoder cross layer (stored in
-    cfg.kv_cache_dtype — f8 halves the per-step cross-attention read)."""
+    cfg.kv_cache_dtype — f8 halves the per-step cross-attention read).
+
+    K/V project from the RAW encoder memory, exactly as training's
+    ``f_cross`` does (stack.py: the cross layer's ``ln`` normalizes the
+    DECODER stream — the query side — not the memory).  An earlier version
+    applied that LN to the memory here; it hid inside parity tolerances
+    only because freshly-initialized LN params (scale 1, bias 0) on
+    already-final_ln'd memory are near-identity — on a trained checkpoint
+    it diverged the cached decode ~50% from training numerics."""
     num_heads = cfg.decoder.attention.num_heads
     kdt = _kv_dtype(cfg, cdt)
     mem_k, mem_v = [], []
     layers = params["decoder"]["layers"]
+    b, l, _ = memory.shape
     # layer layout from stack_init(cross_attend=True): [self, cross] * L
     for i in range(1, len(layers), 2):
         p = layers[i]["f"]
-        h = layer_norm(p["ln"], memory)
-        b, l, _ = h.shape
-        k = dense(p["attn"]["w_k"], h, cdt).reshape(b, l, num_heads, -1)
-        v = dense(p["attn"]["w_v"], h, cdt).reshape(b, l, num_heads, -1)
+        k = dense(p["attn"]["w_k"], memory, cdt).reshape(b, l, num_heads, -1)
+        v = dense(p["attn"]["w_v"], memory, cdt).reshape(b, l, num_heads, -1)
         mem_k.append(_to_kv(k, kdt))
         mem_v.append(_to_kv(v, kdt))
     return tuple(mem_k), tuple(mem_v)
@@ -380,7 +387,11 @@ def _stack_substep(params, cfg: ReformerTTSConfig, x_t, cdt,
     (hh is the pre-LN'd stream; the callbacks own cache side effects.)"""
     dcfg = cfg.decoder
     layers = params["decoder"]["layers"]
-    h1 = h2 = x_t
+    # residual streams ride f32, matching stack_apply's cast at stack entry
+    # (CLAUDE.md convention): bf16 sublayer outputs promote on the add, so
+    # the cached decode accumulates exactly like training instead of
+    # rounding every residual to bf16
+    h1 = h2 = x_t.astype(jnp.float32)
     ci = 0  # self-attn cache index
     xi = 0  # cross layer index
     for li, lp in enumerate(layers):
@@ -398,8 +409,7 @@ def _stack_substep(params, cfg: ReformerTTSConfig, x_t, cdt,
 
 
 def _decoder_step(params, cfg: ReformerTTSConfig, x_t, state: DecodeState,
-                  mem_k, mem_v, memory_mask, cdt, rotations=None,
-                  num_buckets=0):
+                  mem_k, mem_v, memory_mask, cdt, rotations=None):
     """Run one frame through the decoder stack (two-stream recurrence).
 
     x_t: (B, D) post-prenet+posenc frame.  ``rotations`` non-None selects
@@ -419,7 +429,7 @@ def _decoder_step(params, cfg: ReformerTTSConfig, x_t, state: DecodeState,
             out, k_caches[ci], v_caches[ci], b_caches[ci] = \
                 _self_attn_step_lsh(
                     p, h, k_caches[ci], v_caches[ci], b_caches[ci],
-                    rotations[ci], state.t, num_heads, cdt, num_buckets)
+                    rotations[ci], state.t, num_heads, cdt)
         else:
             out, k_caches[ci], v_caches[ci] = _self_attn_step(
                 p, h, k_caches[ci], v_caches[ci], state.t, num_heads, cdt)
@@ -449,8 +459,7 @@ def _pos_table(params, cfg: ReformerTTSConfig):
 
 
 def _make_step_fn(params, cfg: ReformerTTSConfig, mem_k, mem_v, memory_mask,
-                  rng, stop_threshold, teacher_mel=None, rotations=None,
-                  num_buckets=0):
+                  rng, stop_threshold, teacher_mel=None, rotations=None):
     cdt = _dtype(cfg.compute_dtype)
     pos_table, pos_alpha = _pos_table(params, cfg)
     r = cfg.reduction_factor
@@ -467,7 +476,7 @@ def _make_step_fn(params, cfg: ReformerTTSConfig, mem_k, mem_v, memory_mask,
         h = h + pos_alpha.astype(h.dtype) * pe.astype(h.dtype)
         y, k_caches, v_caches, b_caches = _decoder_step(
             params, cfg, h, state, mem_k, mem_v, memory_mask, cdt,
-            rotations=rotations, num_buckets=num_buckets)
+            rotations=rotations)
         group = dense(params["mel_head"], y, cdt).astype(jnp.float32)
         frames = group.reshape(-1, r, n_mels)            # (B, r, n_mels)
         stop_logit = dense(params["stop_head"], y, cdt)[..., 0].astype(jnp.float32)
@@ -739,6 +748,12 @@ def _stage_sizes(n_groups: int, stage_min: int) -> Tuple[int, ...]:
     return tuple(reversed(sizes))
 
 
+# rotation-key namespace: fold_in(rng, t) keys the per-step prenet dropout,
+# so the rotation fold constant must be unreachable by any step index t
+# (t < max_frames << 2^31); 999 collided with decode step 999
+_ROT_KEY = 0x7FFFFFFF
+
+
 def _decode_rotations(cfg: ReformerTTSConfig, rng, max_frames: int):
     """Per-self-layer hash rotations for LSH-cached decoding."""
     from rtts.attention.lsh import auto_num_buckets
@@ -746,7 +761,11 @@ def _decode_rotations(cfg: ReformerTTSConfig, rng, max_frames: int):
     from rtts.attention.lsh import total_buckets
 
     a = cfg.decoder.attention
-    nb = a.num_buckets or auto_num_buckets(max_frames, a.chunk_length)
+    # the decoder runs at the GROUP rate (T/r): auto-bucket from groups,
+    # exactly as training's LSH sees x.shape[1] groups — frames would give
+    # r-times too many buckets for reduction_factor > 1
+    n_groups = max_frames // cfg.reduction_factor
+    nb = a.num_buckets or auto_num_buckets(n_groups, a.chunk_length)
     # decode draws fresh rotations, so a factorized training spec maps to a
     # plain LSH with the same total bucket count here
     nb = total_buckets(nb)
@@ -867,10 +886,10 @@ def decode_greedy(
     mem_k, mem_v = _init_mem_kv(params, cfg, memory.astype(cdt), cdt)
     rotations, nb = (None, 0)
     if mode in ("kv_lsh", "kv_lsh_chunk"):
-        rotations, nb = _decode_rotations(cfg, jax.random.fold_in(rng, 999),
+        rotations, nb = _decode_rotations(cfg, jax.random.fold_in(rng, _ROT_KEY),
                                           max_frames)
     step = _make_step_fn(params, cfg, mem_k, mem_v, memory_mask, rng,
-                         stop_threshold, rotations=rotations, num_buckets=nb)
+                         stop_threshold, rotations=rotations)
     a = cfg.decoder.attention
     n_groups = max_frames // cfg.reduction_factor
     if staged == "auto":
@@ -946,29 +965,37 @@ def decode_greedy_recompute(
         stop_threshold = cfg.stop_threshold
     batch = memory.shape[0]
     cdt = _dtype(cfg.compute_dtype)
+    r = cfg.reduction_factor
+    if max_frames % r:
+        raise ValueError(f"max_frames {max_frames} not a multiple of "
+                         f"reduction_factor {r}")
+    n_groups = max_frames // r
 
     def step(carry):
-        t, done, lengths, mel, stop_buf = carry
+        # one decoder GROUP (r frames) per trip: decode_train consumes
+        # group-shifted input (shift_mel semantics — a 1-frame shift would
+        # leak a group's own frames into its input for r > 1)
+        g, done, lengths, mel, stop_buf = carry
         mel_in = jnp.concatenate(
-            [jnp.zeros_like(mel[:, :1]), mel[:, :-1]], axis=1)
-        mel_mask = jnp.arange(max_frames)[None, :] <= t
+            [jnp.zeros_like(mel[:, :r]), mel[:, :-r]], axis=1)
+        mel_mask = jnp.arange(max_frames)[None, :] < (g + 1) * r
         mel_mask = jnp.broadcast_to(mel_mask, (batch, max_frames))
         pre, _, stop_logits = decode_train(
             params, cfg, mel_in, mel_mask, memory, memory_mask,
-            rng=jax.random.fold_in(rng, t), deterministic=True)
-        frame = jax.lax.dynamic_slice_in_dim(pre, t, 1, axis=1)[:, 0]
-        stop_t = jax.lax.dynamic_slice_in_dim(stop_logits, t, 1, axis=1)[:, 0]
-        mel = jax.lax.dynamic_update_slice_in_dim(mel, frame[:, None], t,
-                                                  axis=1)
+            rng=jax.random.fold_in(rng, g), deterministic=True)
+        frames = jax.lax.dynamic_slice_in_dim(pre, g * r, r, axis=1)
+        stop_g = jax.lax.dynamic_slice_in_dim(stop_logits, g * r, r, axis=1)
+        mel = jax.lax.dynamic_update_slice_in_dim(mel, frames, g * r, axis=1)
         stop_buf = jax.lax.dynamic_update_slice_in_dim(
-            stop_buf, stop_t.astype(jnp.float32)[:, None], t, axis=1)
-        newly_done = jax.nn.sigmoid(stop_t) > stop_threshold
-        lengths = jnp.where(done, lengths, t + 1)
-        return t + 1, done | newly_done, lengths, mel, stop_buf
+            stop_buf, stop_g.astype(jnp.float32), g * r, axis=1)
+        # decode_train repeats the per-group stop logit over its r frames
+        newly_done = jax.nn.sigmoid(stop_g[:, -1]) > stop_threshold
+        lengths = jnp.where(done, lengths, (g + 1) * r)
+        return g + 1, done | newly_done, lengths, mel, stop_buf
 
     def cond(carry):
-        t, done = carry[0], carry[1]
-        return (t < max_frames) & ~jnp.all(done)
+        g, done = carry[0], carry[1]
+        return (g < n_groups) & ~jnp.all(done)
 
     carry = (jnp.asarray(0, jnp.int32), jnp.zeros((batch,), bool),
              jnp.full((batch,), max_frames, jnp.int32),

@@ -36,6 +36,7 @@ import numpy as np
 
 from rtts.config import Config, ReformerTTSConfig
 from rtts.infer.decode import (
+    _ROT_KEY,
     DecodeState,
     _decode_rotations,
     _dtype,
@@ -108,10 +109,9 @@ class StreamingSynthesizer:
         rotations, nb = (None, 0)
         if self.mode in ("kv_lsh", "kv_lsh_chunk"):
             rotations, nb = _decode_rotations(
-                cfg, jax.random.fold_in(rng, 999), self.max_frames)
+                cfg, jax.random.fold_in(rng, _ROT_KEY), self.max_frames)
         step = _make_step_fn(params, cfg, mem_k, mem_v, memory_mask, rng,
-                             cfg.stop_threshold, rotations=rotations,
-                             num_buckets=nb)
+                             cfg.stop_threshold, rotations=rotations)
         target = state.t + n_groups
         total = self.max_frames // cfg.reduction_factor
 
@@ -156,7 +156,7 @@ class StreamingSynthesizer:
                                      + a.num_chunks_after)
         nb = 0
         if self.mode == "kv_lsh_chunk":
-            nb = _decode_rotations(cfg, jax.random.fold_in(rng, 999),
+            nb = _decode_rotations(cfg, jax.random.fold_in(rng, _ROT_KEY),
                                    self.max_frames)[1]
         state = _init_state(
             params, cfg, memory.shape[0], self.max_frames,

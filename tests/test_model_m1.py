@@ -143,3 +143,34 @@ def test_overfit_one_sentence():
         if first is None:
             first = float(loss)
     assert float(loss) < 0.5 * first, (first, float(loss))
+
+
+def test_teacher_check_parity_with_trained_like_ln(batch):
+    """Regression: _init_mem_kv must project cross K/V from RAW memory
+    (training's f_cross LNs only the decoder stream).  With freshly
+    initialized LN params the distinction is invisible (scale 1 / bias 0 on
+    final_ln'd memory is near-identity), so perturb the cross layers' LN to
+    emulate a trained checkpoint — the pre-fix code diverged ~50% here."""
+    tokens, tmask, mel, mmask = batch
+    cfg = tiny_cfg()
+    params = M.init(jax.random.PRNGKey(1), cfg)
+    layers = list(params["decoder"]["layers"])
+    for i in range(1, len(layers), 2):
+        f = dict(layers[i]["f"])
+        ln = dict(f["ln"])
+        ln["scale"] = ln["scale"] * 1.7 + 0.3
+        ln["bias"] = ln["bias"] + 0.5
+        f["ln"] = ln
+        layers[i] = {**layers[i], "f": f}
+    params = {**params,
+              "decoder": {**params["decoder"], "layers": layers}}
+    memory = M.encode(params, cfg, tokens, tmask)
+    teacher_in = M.shift_mel(mel)
+    pre_ref, _, stop_ref = M.decode_train(
+        params, cfg, teacher_in, jnp.ones_like(mmask), memory, tmask)
+    pre_inc, stop_inc = decode_teacher_check(params, cfg, memory, tmask,
+                                             teacher_in)
+    np.testing.assert_allclose(np.asarray(pre_inc), np.asarray(pre_ref),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(stop_inc), np.asarray(stop_ref),
+                               atol=2e-4, rtol=1e-3)

@@ -89,3 +89,31 @@ def test_r2_overfits():
         if first is None:
             first = float(loss)
     assert float(loss) < 0.5 * first, (first, float(loss))
+
+
+def test_r2_recompute_matches_incremental():
+    """The reference-faithful recompute oracle must step one GROUP (r
+    frames) per trip with group-shifted teacher input; the pre-fix 1-frame
+    shift let group g see its own frames (causality violation) for r > 1."""
+    from rtts.infer.decode import decode_greedy_recompute
+
+    cfg = r2_cfg()
+    params = M.init(jax.random.PRNGKey(0), cfg)
+    B, L = 2, 16
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (B, L), 3, vocab_size())
+    tmask = jnp.ones((B, L), bool)
+    memory = M.encode(params, cfg, tokens, tmask)
+    res_i = decode_greedy(params, cfg, memory, tmask, max_frames=16,
+                          stop_threshold=2.0)
+    res_r = decode_greedy_recompute(params, cfg, memory, tmask, max_frames=16,
+                                    stop_threshold=2.0)
+    np.testing.assert_array_equal(np.asarray(res_i.lengths),
+                                  np.asarray(res_r.lengths))
+    np.testing.assert_allclose(np.asarray(res_r.mel_post),
+                               np.asarray(res_i.mel_post),
+                               atol=5e-4, rtol=1e-3)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="multiple"):
+        decode_greedy_recompute(params, cfg, memory, tmask, max_frames=15)
