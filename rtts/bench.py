@@ -170,8 +170,7 @@ def _decode_flops(cfg: Config, params, batch: int, token_len: int,
         rotations, nb = _decode_rotations(mcfg, jax.random.PRNGKey(9),
                                           max_frames)
     step = _make_step_fn(params, mcfg, mem_k, mem_v, tmask,
-                         jax.random.PRNGKey(0), 2.0, rotations=rotations,
-                         num_buckets=nb)
+                         jax.random.PRNGKey(0), 2.0, rotations=rotations)
     a = mcfg.decoder.attention
     ring_cap = a.chunk_length * (1 + a.num_chunks_before + a.num_chunks_after)
     n_groups = max_frames // mcfg.reduction_factor
@@ -302,8 +301,8 @@ def bench_e2e(cfg: Optional[Config] = None, batch: int = 8,
                                         stop_threshold=2.0, mode=mode,
                                         unroll=unroll, staged=staged)
         if vp is not None:
-            audio = SW.infer(vp, cfg.vocoder, mel, rng=jax.random.PRNGKey(0),
-                             folded=True)
+            audio = SW.infer(vp, cfg.vocoder, mel,
+                             rng=jax.random.PRNGKey(0))
         else:
             audio = mel  # no vocoder: mel only
         return audio
@@ -323,7 +322,7 @@ def bench_e2e(cfg: Optional[Config] = None, batch: int = 8,
         mel0 = jnp.zeros((batch, max_frames, cfg.vocoder.n_mels), jnp.float32)
         f_voc = _compiled_flops(
             lambda p, m: SW.infer(p, cfg.vocoder, m,
-                                  rng=jax.random.PRNGKey(0), folded=True),
+                                  rng=jax.random.PRNGKey(0)),
             voc_params, mel0)
         flops = flops + f_voc if f_voc is not None else None
     return {
@@ -650,8 +649,8 @@ def bench_vocoder(cfg: Optional[Config] = None, batch: int = 8,
     params = SW.fold_weightnorm(SW.init(jax.random.PRNGKey(0), voc))
     mel = jax.random.normal(jax.random.PRNGKey(1), (batch, mel_frames, voc.n_mels))
 
-    run = jax.jit(lambda p, m: SW.infer(p, voc, m, rng=jax.random.PRNGKey(0),
-                                        folded=True))
+    run = jax.jit(lambda p, m: SW.infer(p, voc, m,
+                                        rng=jax.random.PRNGKey(0)))
     _sync(run(params, mel))
     times = []
     for _ in range(repeats):
@@ -661,7 +660,7 @@ def bench_vocoder(cfg: Optional[Config] = None, batch: int = 8,
     dt = min(times)
     audio_seconds = batch * mel_frames * voc.hop_length / voc.sample_rate
     flops = _compiled_flops(lambda p, m: SW.infer(
-        p, voc, m, rng=jax.random.PRNGKey(0), folded=True), params, mel)
+        p, voc, m, rng=jax.random.PRNGKey(0)), params, mel)
     return {"vocoder_rtf": dt / audio_seconds, "wall_seconds": dt,
             "audio_seconds": audio_seconds,
             "flops": flops, "mfu": _mfu(flops, dt)}

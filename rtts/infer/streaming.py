@@ -74,7 +74,7 @@ class StreamingSynthesizer:
             tts_params, _dtype(cfg.model.compute_dtype))
         # fold at load (see Synthesizer): _infer_chunk duck-types on the
         # param structure, so unfolded params would invert 1x1s on-device
-        # per chunk regardless of its folded=True flag
+        # per chunk
         if vocoder_params is not None:
             from rtts.models.squeezewave import ensure_folded
 
@@ -179,8 +179,7 @@ class StreamingSynthesizer:
             z_full = jax.random.normal(jax.random.fold_in(rng, 77),
                                        (memory.shape[0], l_total,
                                         vcfg.n_group)) * vcfg.sigma
-            voc_fn = jax.jit(functools.partial(_infer_chunk, cfg=vcfg,
-                                               folded=True))
+            voc_fn = jax.jit(functools.partial(_infer_chunk, cfg=vcfg))
 
         # host-side buffer of FINAL post-netted mel frames.  Windows are
         # always sliced from state.mel (which holds zeros past the decoded

@@ -97,11 +97,10 @@ class Synthesizer:
             if streaming_chunk > 0:
                 audio = infer_streaming(self.vocoder_params, self.cfg.vocoder,
                                         jnp.asarray(mel)[None],
-                                        chunk_frames=streaming_chunk,
-                                        folded=True)[0]
+                                        chunk_frames=streaming_chunk)[0]
             else:
                 audio = sw_infer(self.vocoder_params, self.cfg.vocoder,
-                                 jnp.asarray(mel)[None], folded=True)[0]
+                                 jnp.asarray(mel)[None])[0]
             return np.asarray(audio)
         from rtts.audio.griffin import mel_to_audio as gl_mel_to_audio
 
@@ -314,7 +313,7 @@ class Synthesizer:
         wavs: List[Optional[np.ndarray]] = [None] * len(texts)
         for cap, idxs in sorted(by_cap.items()):
             audio = sw_infer(self.vocoder_params, self.cfg.vocoder,
-                             jnp.stack([rows[i] for i in idxs]), folded=True)
+                             jnp.stack([rows[i] for i in idxs]))
             audio = np.asarray(audio)
             for j, i in enumerate(idxs):
                 wavs[i] = audio[j, : lengths[i] * hop]

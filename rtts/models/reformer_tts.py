@@ -140,7 +140,17 @@ def _posenc(cfg: ReformerTTSConfig, params, x: jnp.ndarray) -> jnp.ndarray:
 
 def encoder_prenet(params, cfg: ReformerTTSConfig, h: jnp.ndarray,
                    rng: Optional[jax.Array], deterministic: bool,
-                   compute_dtype) -> jnp.ndarray:
+                   compute_dtype,
+                   mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """``mask`` (B, L) bool re-zeroes pad positions before and after every
+    conv (same contract as postnet_apply's frame_mask): PAD_ID has a
+    learned nonzero embedding and the SAME convs reach ~6 positions, so
+    without it the last valid memory positions depend on HOW MUCH padding
+    the batch happened to append — the same text would encode differently
+    across batch shapes."""
+    m = None if mask is None else mask[..., None].astype(h.dtype)
+    if m is not None:
+        h = h * m
     for i, layer in enumerate(params):
         h = conv1d(layer["conv"], h, compute_dtype=compute_dtype)
         h = layer_norm(layer["ln"], h)
@@ -148,6 +158,10 @@ def encoder_prenet(params, cfg: ReformerTTSConfig, h: jnp.ndarray,
         if rng is not None:
             h = dropout(jax.random.fold_in(rng, i), h, cfg.enc_prenet_dropout,
                         deterministic)
+        if m is not None:
+            # at the END of the layer (LN bias + relu make zeroed rows
+            # nonzero again): every conv then sees exactly-zero pads
+            h = h * m.astype(h.dtype)
     return h
 
 
@@ -193,7 +207,8 @@ def encode(params, cfg: ReformerTTSConfig, tokens: jnp.ndarray,
         tokens[..., None], token_mask, _pad_multiple(cfg.encoder))
     tokens = tokens[..., 0]
     h = embedding(params["embed"], tokens, compute_dtype=cdt)
-    h = encoder_prenet(params["enc_prenet"], cfg, h, r0, deterministic, cdt)
+    h = encoder_prenet(params["enc_prenet"], cfg, h, r0, deterministic, cdt,
+                       mask=token_mask)
     h = _posenc(cfg, params["enc_pos"], h)
     h = h * token_mask[..., None].astype(h.dtype)
     out = stack_apply(params["encoder"], cfg.encoder, h, token_mask,
@@ -216,6 +231,7 @@ def decode_train(
     r0, r1, r2 = (jax.random.split(rng, 3) if rng is not None
                   else (jax.random.PRNGKey(1), None, jax.random.PRNGKey(2)))
     orig_t = mel_input.shape[1]
+    frame_mask0 = mel_mask          # frame-rate mask, pre-grouping/pad
     if r > 1:
         # group r frames per decoder step (Tacotron-lineage reduction):
         # the decoder runs at the group rate T/r
@@ -243,8 +259,13 @@ def decode_train(
         b_, g_, _ = mel_pre.shape
         mel_pre = mel_pre.reshape(b_, g_ * r, cfg.n_mels)[:, :orig_t]
         stop_logits = jnp.repeat(stop_logits, r, axis=1)[:, :orig_t]
+    # frame_mask keeps pad-region decoder garbage out of the postnet convs:
+    # without it the last ~postnet-receptive-field valid frames (exactly
+    # where stop behavior is learned) depend on batch padding, a
+    # train/serve mismatch — serving's postnet always masks
     residual = postnet_apply(params["postnet"], cfg, mel_pre.astype(cdt), r1,
-                             deterministic, cdt).astype(jnp.float32)
+                             deterministic, cdt,
+                             frame_mask=frame_mask0).astype(jnp.float32)
     mel_post = mel_pre + residual
     return mel_pre, mel_post, stop_logits
 

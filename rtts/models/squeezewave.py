@@ -44,11 +44,8 @@ import jax
 import jax.numpy as jnp
 
 from rtts.config import SqueezeWaveConfig
+from rtts.models.reformer_tts import _dtype  # single dtype resolver
 from rtts.nn.conv import conv1d, conv1d_init
-
-
-def _dtype(name: str):
-    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
 
 
 # ---------------------------------------------------------------------------
@@ -71,9 +68,9 @@ def _wn_weight(p: Dict[str, Any]) -> jnp.ndarray:
     return p["g"][None, None, :] * v / norm
 
 
-def wn_conv(p, x, groups: int = 1, compute_dtype=None, folded: bool = False,
+def wn_conv(p, x, groups: int = 1, compute_dtype=None,
             use_pallas: bool = True):
-    # auto-detect folded params ({"w"}) vs weight-normed ({"v","g"})
+    # folded params ({"w"}) vs weight-normed ({"v","g"}) are auto-detected
     w = p["w"] if "w" in p else _wn_weight(p)
     if (use_pallas and groups > 1 and groups == x.shape[-1]
             and w.shape[0] > 1 and jax.devices()[0].platform == "tpu"):
@@ -160,8 +157,10 @@ def init(key: jax.Array, cfg: SqueezeWaveConfig) -> Dict[str, Any]:
         # random orthogonal init for the invertible 1x1 (det = +/-1)
         w0 = jax.random.normal(fk[0], (n_rem, n_rem), jnp.float32)
         q, _ = jnp.linalg.qr(w0)
-        # ensure det +1 so log|det| starts at 0 from a rotation
-        q = q * jnp.sign(jnp.linalg.det(q))
+        # ensure det +1 so log|det| starts at 0 from a rotation.  Flip ONE
+        # column: scaling the whole matrix by -1 flips det only for odd
+        # dims (det(cQ) = c^n det(Q)), and n_rem is even here
+        q = q.at[:, 0].multiply(jnp.where(jnp.linalg.det(q) < 0, -1.0, 1.0))
         wn = {
             "in": wn_param(fk[1], n_half, cfg.wn_channels, 1, dtype=pdtype),
             "cond": wn_param(fk[2], cfg.n_mels, 2 * cfg.wn_channels * cfg.wn_layers,
@@ -212,24 +211,23 @@ def upsample_mel(mel: jnp.ndarray, target_len: int) -> jnp.ndarray:
 
 
 def wn_apply(wn, audio_half: jnp.ndarray, mel_up: jnp.ndarray,
-             n_layers: int, wn_channels: int, compute_dtype=None,
-             folded: bool = False) -> jnp.ndarray:
+             n_layers: int, wn_channels: int,
+             compute_dtype=None) -> jnp.ndarray:
     """(B, L, n_half), (B, L, n_mels) -> (B, L, 2*n_half) = [log_s | t]."""
-    h = wn_conv(wn["in"], audio_half, compute_dtype=compute_dtype, folded=folded)
-    cond_all = wn_conv(wn["cond"], mel_up, compute_dtype=compute_dtype, folded=folded)
+    h = wn_conv(wn["in"], audio_half, compute_dtype=compute_dtype)
+    cond_all = wn_conv(wn["cond"], mel_up, compute_dtype=compute_dtype)
     skip_total = None
     for i in range(n_layers):
         d = wn_conv(wn["depth"][i], h, groups=wn_channels,
-                    compute_dtype=compute_dtype, folded=folded)
-        a = wn_conv(wn["point"][i], d, compute_dtype=compute_dtype, folded=folded)
+                    compute_dtype=compute_dtype)
+        a = wn_conv(wn["point"][i], d, compute_dtype=compute_dtype)
         cond = jax.lax.dynamic_slice_in_dim(
             cond_all, i * 2 * wn_channels, 2 * wn_channels, axis=-1)
         a = a + cond
         t_act = jnp.tanh(a[..., :wn_channels])
         s_act = jax.nn.sigmoid(a[..., wn_channels:])
         acts = t_act * s_act
-        rs = wn_conv(wn["res_skip"][i], acts, compute_dtype=compute_dtype,
-                     folded=folded)
+        rs = wn_conv(wn["res_skip"][i], acts, compute_dtype=compute_dtype)
         if i < n_layers - 1:
             h = h + rs
         skip_total = rs if skip_total is None else skip_total + rs
@@ -278,7 +276,7 @@ def forward(params, cfg: SqueezeWaveConfig, mel: jnp.ndarray,
 
 def infer(params, cfg: SqueezeWaveConfig, mel: jnp.ndarray,
           sigma: Optional[float] = None, rng: Optional[jax.Array] = None,
-          folded: bool = False, compute_dtype=None) -> jnp.ndarray:
+          compute_dtype=None) -> jnp.ndarray:
     """mel (B, M, n_mels) -> audio (B, M * hop_length). Runs flows in
     reverse on z ~ N(0, sigma^2).  Channel bookkeeping: the tail of z is
     the final x; early chunks were emitted (in forward order) from the
@@ -290,7 +288,7 @@ def infer(params, cfg: SqueezeWaveConfig, mel: jnp.ndarray,
     b, m, _ = mel.shape
     l = m * cfg.hop_length // cfg.n_group
     z = jax.random.normal(rng, (b, l, cfg.n_group), jnp.float32) * sigma
-    return _infer_chunk(params, mel, z, cfg=cfg, folded=folded)
+    return _infer_chunk(params, mel, z, cfg=cfg)
 
 
 # ---------------------------------------------------------------------------
@@ -304,15 +302,16 @@ def receptive_field_squeezed(cfg: SqueezeWaveConfig) -> int:
     Temporal mixing comes only from the depthwise convs (1x1 convs and the
     coupling are pointwise): wn_layers convs of kernel k per flow, n_flows
     flows in sequence."""
-    per_flow = cfg.wn_layers * (cfg.wn_kernel_size - 1) // 2
+    # XLA SAME pads asymmetrically for even kernels (right reach k//2), so
+    # use k//2 per layer — equal to (k-1)//2 for odd k, one extra for even
+    per_flow = cfg.wn_layers * (cfg.wn_kernel_size // 2)
     return cfg.n_flows * per_flow
 
 
 def infer_streaming(params, cfg: SqueezeWaveConfig, mel: jnp.ndarray,
                     sigma: Optional[float] = None,
                     rng: Optional[jax.Array] = None,
-                    chunk_frames: int = 64,
-                    folded: bool = False) -> jnp.ndarray:
+                    chunk_frames: int = 64) -> jnp.ndarray:
     """Chunked mel->audio: processes ``chunk_frames`` mel frames at a time
     with enough overlap context that kept samples are EXACTLY the full-pass
     output (conv locality; verified in tests).  This is the low-latency
@@ -336,16 +335,14 @@ def infer_streaming(params, cfg: SqueezeWaveConfig, mel: jnp.ndarray,
     z_full = jax.random.normal(rng, (b, l_total, cfg.n_group),
                                jnp.float32) * sigma
 
-    chunk_fn = jax.jit(functools.partial(_infer_chunk, cfg=cfg,
-                                         folded=folded))
+    chunk_fn = jax.jit(functools.partial(_infer_chunk, cfg=cfg))
     outs = []
     start = 0
     while start < m:
         end = min(start + chunk_frames, m)
         lo = max(0, start - ctx)
         hi = min(m, end + ctx)
-        mel_c = jax.lax.dynamic_slice_in_dim(mel, lo, hi - lo, axis=1) \
-            if hi - lo == chunk_frames + 2 * ctx else mel[:, lo:hi]
+        mel_c = mel[:, lo:hi]
         z_c = z_full[:, lo * r:hi * r]
         audio_c = chunk_fn(params, mel_c, z_c)
         keep_lo = (start - lo) * cfg.hop_length
@@ -355,7 +352,7 @@ def infer_streaming(params, cfg: SqueezeWaveConfig, mel: jnp.ndarray,
     return jnp.concatenate(outs, axis=1)
 
 
-def _infer_chunk(params, mel_c, z_c, *, cfg: SqueezeWaveConfig, folded: bool):
+def _infer_chunk(params, mel_c, z_c, *, cfg: SqueezeWaveConfig):
     """Inverse flow pass on one chunk with an externally supplied z."""
     cdt = _dtype(cfg.compute_dtype)
     b, mc, _ = mel_c.shape
@@ -375,7 +372,7 @@ def _infer_chunk(params, mel_c, z_c, *, cfg: SqueezeWaveConfig, folded: bool):
         n_half = n_rem // 2
         a0, a1 = x[..., :n_half], x[..., n_half:]
         st = wn_apply(fp["wn"], a0.astype(cdt), mel_up, cfg.wn_layers,
-                      cfg.wn_channels, cdt, folded=folded).astype(jnp.float32)
+                      cfg.wn_channels, cdt).astype(jnp.float32)
         log_s, t = st[..., :n_half], st[..., n_half:]
         a1 = (a1 - t) * jnp.exp(-log_s)
         x = jnp.concatenate([a0, a1], axis=-1)

@@ -102,7 +102,7 @@ def test_synthesizer_folds_vocoder_at_load():
                                        (8, cfg.vocoder.n_mels)))
     audio = syn.mel_to_audio(mel)
     ref = SW.infer(SW.fold_weightnorm(voc_params), cfg.vocoder,
-                   jnp.asarray(mel)[None], folded=True)[0]
+                   jnp.asarray(mel)[None])[0]
     np.testing.assert_allclose(audio, np.asarray(ref), atol=1e-5, rtol=1e-4)
 
 

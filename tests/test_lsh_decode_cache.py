@@ -44,7 +44,7 @@ def test_all_same_bucket_equals_full_step():
     rotations = jnp.zeros((H, d, nh, nb // 2))
     b_cache = jnp.zeros((B, H, nh, T), jnp.int32)
     out_lsh, k3, v3, b3 = _self_attn_step_lsh(
-        p, h_t, k_cache, v_cache, b_cache, rotations, t, H, None, nb)
+        p, h_t, k_cache, v_cache, b_cache, rotations, t, H, None)
     np.testing.assert_allclose(np.asarray(out_lsh), np.asarray(out_full),
                                atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(k3), np.asarray(k2), atol=1e-6)
@@ -58,7 +58,7 @@ def test_other_bucket_keys_are_masked():
     # put every cached key in bucket 3 => only self is attendable
     b_cache = jnp.full((B, H, nh, T), 3, jnp.int32)
     out_lsh, _, _, _ = _self_attn_step_lsh(
-        p, h_t, k_cache, v_cache, b_cache, rotations, t, H, None, nb)
+        p, h_t, k_cache, v_cache, b_cache, rotations, t, H, None)
     # expected: attention collapses onto the current token's value
     from rtts.nn.layers import dense
     from rtts.infer.decode import _proj_heads
@@ -92,7 +92,7 @@ def test_chunk_ring_equals_full_prefix_mask_no_overflow():
     ring = {"idx": jnp.full((B, H, nh, nb, cap), -1, jnp.int32),
             "cnt": jnp.zeros((B, H, nh, nb), jnp.int32)}
     mask_step = jax.jit(functools.partial(
-        _self_attn_step_lsh, num_heads=H, cdt=None, num_buckets=nb))
+        _self_attn_step_lsh, num_heads=H, cdt=None))
     ring_step = jax.jit(functools.partial(
         _self_attn_step_lsh_chunk, num_heads=H, cdt=None))
     for ti in range(T):

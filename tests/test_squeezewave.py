@@ -110,7 +110,7 @@ def test_fold_weightnorm_preserves_infer(setup):
     cfg, params, mel, _ = setup
     a1 = SW.infer(params, cfg, mel, rng=jax.random.PRNGKey(4))
     folded = SW.fold_weightnorm(params)
-    a2 = SW.infer(folded, cfg, mel, rng=jax.random.PRNGKey(4), folded=True)
+    a2 = SW.infer(folded, cfg, mel, rng=jax.random.PRNGKey(4))
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
                                atol=1e-4, rtol=1e-3)
 

@@ -90,7 +90,7 @@ def test_streamed_audio_matches_full_vocoder():
 
     audio_full = np.asarray(_infer_chunk(
         voc_params, jnp.asarray(mel), z_full[:, :n_frames * sq_per_frame],
-        cfg=cfg.vocoder, folded=True))
+        cfg=cfg.vocoder))
     np.testing.assert_allclose(audio_streamed, audio_full,
                                atol=1e-3, rtol=1e-2)
 

@@ -168,22 +168,35 @@ def scaled_posenc(p, x):
     return x + _t(p["alpha"]) * _t(p["table"])[:L]
 
 
-def encoder_prenet(p, x):
+def encoder_prenet(p, x, mask=None):
+    # mask contract mirrors rtts encoder_prenet: zero pads before the first
+    # conv and at the end of every layer, so convs never see pad content
+    m = None if mask is None else mask[..., None].to(x.dtype)
+    if m is not None:
+        x = x * m
     for layer in p:
         x = conv1d(layer["conv"], x)
         x = layer_norm(layer["ln"], x)
         x = torch.relu(x)
+        if m is not None:
+            x = x * m
     return x
 
 
-def postnet(p, mel):
+def postnet(p, mel, mask=None):
+    # mirrors rtts postnet_apply's frame_mask
     h = mel
+    m = None if mask is None else mask[..., None].to(mel.dtype)
+    if m is not None:
+        h = h * m
     n = len(p)
     for i, layer in enumerate(p):
         h = conv1d(layer["conv"], h)
         if i < n - 1:
             h = layer_norm(layer["ln"], h)
             h = torch.tanh(h)
+        if m is not None:
+            h = h * m
     return h
 
 
@@ -207,7 +220,7 @@ def tts_forward(params, cfg, tokens, token_mask, mel_target, mel_mask):
 
     # encoder
     h = _t(params["embed"]["table"])[tokens]
-    h = encoder_prenet(params["enc_prenet"], h)
+    h = encoder_prenet(params["enc_prenet"], h, token_mask)
     h = scaled_posenc(params["enc_pos"], h)
     h = h * token_mask[..., None].to(h.dtype)
     memory = stack_apply(params["encoder"], cfg.encoder, h, token_mask)
@@ -223,7 +236,7 @@ def tts_forward(params, cfg, tokens, token_mask, mel_target, mel_mask):
                     memory=memory, memory_mask=token_mask)
     mel_pre = dense(params["mel_head"], h)
     stop_logits = dense(params["stop_head"], h)[..., 0]
-    mel_post = mel_pre + postnet(params["postnet"], mel_pre)
+    mel_post = mel_pre + postnet(params["postnet"], mel_pre, mel_mask_t)
     return mel_pre, mel_post, stop_logits
 
 
