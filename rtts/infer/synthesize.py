@@ -25,7 +25,8 @@ from rtts.text import encode_batch
 class Synthesizer:
     def __init__(self, cfg: Config, tts_params, vocoder_params=None,
                  max_frames: int = 1024, mode: str = "auto",
-                 unroll: int = 1, staged="auto"):
+                 unroll: int = 1, staged="auto", mesh=None,
+                 tensor_parallel: bool = True):
         """``mode`` selects the AR decode cache (see decode_greedy).
         Default "auto" applies a measured cost model: kv_lsh_chunk for
         LSH decoders when the prefix dwarfs the ring working set (1.78x
@@ -37,8 +38,17 @@ class Synthesizer:
         aliasing-preserving block scheme is a mild measured LOSS
         (BENCH.md), left available for directly-attached deployments.  ``staged`` grows the KV buffers
         geometrically over the decode ("auto": on from 256 frames —
-        +15-44% frames/s, measured; see decode_greedy)."""
+        +15-44% frames/s, measured; see decode_greedy).
+
+        ``mesh`` (jax.sharding.Mesh) serves over multiple chips: TTS
+        params shard by the training TP rules (``tensor_parallel``),
+        request batches shard over the data axis (padded by repeating
+        the last request up to the data-parallel size), and vocoder
+        params replicate (it scales by batch).  Same numerics as
+        single-device up to cross-partition reduction order
+        (rtts/parallel/serving.py; tests/test_serving_tp.py)."""
         self.cfg = cfg
+        self.mesh = mesh
         # one-time bf16 cast of matmul weights, OUTSIDE the jit: the
         # in-graph cast is bit-identical but XLA re-materializes it per
         # stage loop under staged decoding (BENCH.md — 11.5k vs 18.0k
@@ -53,6 +63,14 @@ class Synthesizer:
             from rtts.models.squeezewave import ensure_folded
 
             vocoder_params = ensure_folded(vocoder_params)
+        if mesh is not None:
+            from rtts.parallel.serving import (replicate_for_serving,
+                                               shard_for_serving)
+
+            self.tts_params = shard_for_serving(self.tts_params, mesh,
+                                                tensor_parallel)
+            if vocoder_params is not None:
+                vocoder_params = replicate_for_serving(vocoder_params, mesh)
         self.vocoder_params = vocoder_params
         self.max_frames = max_frames
         self.mode = mode
@@ -77,10 +95,26 @@ class Synthesizer:
         tokens, mask = encode_batch(texts, cleaner=tcfg.cleaner,
                                     pad_to_multiple=tcfg.pad_to_multiple,
                                     max_len=tcfg.max_len, level=tcfg.level)
+        tokens, mask = jnp.asarray(tokens), jnp.asarray(mask)
+        n = tokens.shape[0]
+        if self.mesh is not None:
+            from rtts.parallel.serving import (data_parallel_size,
+                                               shard_request_batch)
+
+            # pad the batch to the data-parallel size by repeating the
+            # last request (all-pad rows would decode degenerately)
+            dp = data_parallel_size(self.mesh)
+            extra = (-n) % dp
+            if extra:
+                tokens = jnp.concatenate([tokens, jnp.tile(tokens[-1:],
+                                                           (extra, 1))])
+                mask = jnp.concatenate([mask, jnp.tile(mask[-1:],
+                                                       (extra, 1))])
+            tokens, mask = shard_request_batch((tokens, mask), self.mesh)
         mel, lengths, _ = self._decode_jit(
-            self.tts_params, jnp.asarray(tokens), jnp.asarray(mask),
+            self.tts_params, tokens, mask,
             jax.random.PRNGKey(seed), max_frames=self.max_frames)
-        return np.asarray(mel), np.asarray(lengths)
+        return np.asarray(mel)[:n], np.asarray(lengths)[:n]
 
     def mel_to_audio(self, mel: np.ndarray, length: Optional[int] = None,
                      streaming_chunk: int = 0) -> np.ndarray:

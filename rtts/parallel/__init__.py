@@ -1,4 +1,10 @@
 from rtts.parallel.mesh import make_mesh, DATA_AXIS, MODEL_AXIS
+from rtts.parallel.serving import (
+    data_parallel_size,
+    replicate_for_serving,
+    shard_for_serving,
+    shard_request_batch,
+)
 from rtts.parallel.sharding import (
     batch_sharding,
     replicated,
@@ -14,4 +20,8 @@ __all__ = [
     "replicated",
     "shard_batch",
     "param_sharding_rules",
+    "data_parallel_size",
+    "replicate_for_serving",
+    "shard_for_serving",
+    "shard_request_batch",
 ]
