@@ -107,3 +107,33 @@ def test_replicate_for_serving_places_on_all_devices():
     tree = {"w": jnp.ones((4, 4))}
     rep = replicate_for_serving(tree, mesh)
     assert rep["w"].sharding.is_fully_replicated
+
+
+def test_serve_batch_tp_matches_single_device():
+    """The fused continuous-batching scheduler (whole request queue in one
+    while_loop) runs with TP-sharded params: admission arithmetic and
+    output scatters replicate, the matmuls shard — outputs match."""
+    from rtts.infer.serving import serve_batch
+
+    cfg = lsh_cfg(reversible=False)
+    params = M.init(jax.random.PRNGKey(0), cfg)
+    N, L = 6, 32
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (N, L), 3,
+                                vocab_size())
+    tmask = jnp.ones((N, L), bool)
+    budgets = jnp.array([32, 16, 32, 16, 32, 16], jnp.int32)
+    run = functools.partial(serve_batch, cfg=cfg, capacity_frames=32,
+                            slots=2, segment_frames=16,
+                            rng=jax.random.PRNGKey(3))
+    ref_mel, ref_len = run(params, tokens=tokens, token_mask=tmask,
+                           budgets=budgets)
+
+    mesh = make_mesh(MeshConfig(data_parallel=1, model_parallel=2),
+                     jax.devices()[:2])
+    p_s = shard_for_serving(params, mesh, tensor_parallel=True)
+    out_mel, out_len = jax.jit(
+        lambda p: run(p, tokens=tokens, token_mask=tmask, budgets=budgets))(
+            p_s)
+    np.testing.assert_array_equal(np.asarray(out_len), np.asarray(ref_len))
+    np.testing.assert_allclose(np.asarray(out_mel), np.asarray(ref_mel),
+                               atol=1e-4, rtol=1e-4)
