@@ -266,6 +266,10 @@ class MeshConfig:
     model_parallel: int = 1
     # >1 adds an outermost cross-slice (DCN) data-parallel axis
     dcn_parallel: int = 1
+    # ZeRO-1: shard optimizer moments over the data axis (each DP rank
+    # holds 1/dp of the Adam state; XLA emits the update all-gather).
+    # Numerics identical to replicated (tests/test_zero_sharding.py)
+    zero_sharding: bool = False
     # multi-host: set coordinator_address (host:port) and num_processes /
     # process_id per host, or rely on cluster env auto-detection
     coordinator_address: Optional[str] = None

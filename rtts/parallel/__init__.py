@@ -7,6 +7,7 @@ from rtts.parallel.serving import (
 )
 from rtts.parallel.sharding import (
     batch_sharding,
+    opt_state_shardings,
     replicated,
     shard_batch,
     param_sharding_rules,
@@ -20,6 +21,7 @@ __all__ = [
     "replicated",
     "shard_batch",
     "param_sharding_rules",
+    "opt_state_shardings",
     "data_parallel_size",
     "replicate_for_serving",
     "shard_for_serving",

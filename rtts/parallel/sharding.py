@@ -71,3 +71,41 @@ def make_param_shardings(params: Any, mesh: Mesh, tensor_parallel: bool = False)
         return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(one, params)
+
+
+def _zero_extend(spec: P, shape, dp: int) -> P:
+    """Add the data axis to the first unsharded dim divisible by ``dp``."""
+    dims = list(spec) + [None] * (len(shape) - len(spec))
+    for i, (d, s) in enumerate(zip(dims, shape)):
+        if d is None and s >= dp and s % dp == 0:
+            dims[i] = DATA_AXIS
+            break
+    return P(*dims)
+
+
+def opt_state_shardings(opt_state: Any, mesh: Mesh,
+                        tensor_parallel: bool = False,
+                        zero: bool = False) -> Any:
+    """NamedShardings for an optax state tree (SURVEY.md §3.4 extended).
+
+    The Adam moments mirror the param tree inside the state (``…/mu/<param
+    path>``), so the TP param rules apply to them through the same
+    path-substring match.  With ``zero`` (ZeRO-1 / optimizer state
+    sharding), each moment additionally shards its first unsharded,
+    dp-divisible axis over the ``data`` axis: every data-parallel rank
+    materializes 1/dp of the optimizer state, and XLA emits the update
+    all-gather from the shardings — memory scales, the training-step
+    numerics are unchanged (tests/test_zero_sharding.py).  Step counts
+    and other scalars replicate."""
+    dp = mesh.shape.get(DATA_AXIS, 1)
+
+    def one(path, leaf):
+        path_str = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                            for k in path)
+        ndim = getattr(leaf, "ndim", 0)
+        spec = param_sharding_rules(path_str, ndim, tensor_parallel)
+        if zero and ndim >= 1 and dp > 1:
+            spec = _zero_extend(spec, leaf.shape, dp)
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(one, opt_state)

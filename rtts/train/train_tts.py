@@ -145,8 +145,17 @@ def train_tts(cfg: Config, workdir: str, max_steps: Optional[int] = None,
             print(f"resumed from {latest} at step {step0}")
 
     with mesh:
-        params = jax.device_put(params, replicated(mesh))
-        opt_state = jax.device_put(opt_state, replicated(mesh))
+        # TP when the mesh has a model axis > 1; ZeRO-1 moments on request
+        from rtts.parallel.sharding import (make_param_shardings,
+                                            opt_state_shardings)
+
+        tp = exp.mesh.model_parallel > 1
+        params = jax.device_put(
+            params, make_param_shardings(params, mesh, tensor_parallel=tp))
+        opt_state = jax.device_put(
+            opt_state, opt_state_shardings(opt_state, mesh,
+                                           tensor_parallel=tp,
+                                           zero=exp.mesh.zero_sharding))
         train_step = jax.jit(make_train_step(model_cfg, optimizer),
                              donate_argnums=(0, 1))
         eval_step = jax.jit(make_eval_step(model_cfg))

@@ -90,8 +90,14 @@ def train_vocoder(cfg: Config, workdir: str, max_steps: Optional[int] = None,
             print(f"resumed from {latest} at step {step0}")
 
     with mesh:
+        # vocoder params replicate (conv trees match no TP rule); the Adam
+        # moments can still ZeRO-shard over the data axis on request
+        from rtts.parallel.sharding import opt_state_shardings
+
         params = jax.device_put(params, replicated(mesh))
-        opt_state = jax.device_put(opt_state, replicated(mesh))
+        opt_state = jax.device_put(
+            opt_state, opt_state_shardings(
+                opt_state, mesh, zero=cfg.experiment.mesh.zero_sharding))
         train_step = jax.jit(make_train_step(voc, optimizer),
                              donate_argnums=(0, 1))
         eval_step = jax.jit(make_eval_step(voc))

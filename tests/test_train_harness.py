@@ -24,7 +24,8 @@ from rtts.data.corpus import generate_corpus
 from rtts.data.preprocess import preprocess_corpus
 
 
-def _cfg(data_dir: str, dp: int = 1) -> Config:
+def _cfg(data_dir: str, dp: int = 1, mp: int = 1, zero: bool = False
+         ) -> Config:
     att = AttentionConfig(kind="lsh", num_heads=2, head_dim=16,
                           num_hashes=2, chunk_length=16)
     stack = dict(d_model=32, d_ff=64, dropout=0.0, attention=att)
@@ -49,7 +50,8 @@ def _cfg(data_dir: str, dp: int = 1) -> Config:
             seed=0,
             optim=OptimConfig(learning_rate=1e-3, warmup_steps=10,
                               schedule="constant"),
-            mesh=MeshConfig(data_parallel=dp),
+            mesh=MeshConfig(data_parallel=dp, model_parallel=mp,
+                            zero_sharding=zero),
             checkpoint=CheckpointConfig(save_every_steps=4, keep=2),
             logging=LoggingConfig(log_every_steps=2, eval_every_steps=4),
             eval_batches=1),
@@ -107,3 +109,22 @@ def test_data_parallel_matches_single_device(prepared, tmp_path):
     m4 = train_tts(_cfg(data_dir, dp=4), str(tmp_path / "b"), max_steps=3)
     np.testing.assert_allclose(float(m1["loss"]), float(m4["loss"]),
                                rtol=1e-4)
+
+
+def test_tp_zero_trainer_matches_dp(prepared, tmp_path):
+    """TP (model_parallel=2) + ZeRO-1 moments through the REAL trainer:
+    loss trajectory matches the dp-only run, and the mid-run checkpoint
+    (sharded opt_state gathered at save) restores cleanly."""
+    from rtts.train.train_tts import train_tts
+
+    root, data_dir = prepared
+    m_dp = train_tts(_cfg(data_dir, dp=4), str(tmp_path / "dp"), max_steps=5)
+    work = tmp_path / "tpz"
+    m_tz = train_tts(_cfg(data_dir, dp=2, mp=2, zero=True), str(work),
+                     max_steps=5)
+    np.testing.assert_allclose(float(m_tz["loss"]), float(m_dp["loss"]),
+                               rtol=1e-4)
+    # resume from the step-4 checkpoint under the same sharding
+    m_res = train_tts(_cfg(data_dir, dp=2, mp=2, zero=True), str(work),
+                      max_steps=6)
+    assert np.isfinite(float(m_res["loss"]))
