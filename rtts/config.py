@@ -144,7 +144,22 @@ class ReformerStackConfig:
     ffn_chunk_size: int = 0           # 0 => no chunking
     ffn_activation: str = "gelu"
     dropout: float = 0.1
-    reversible: bool = True
+    # True | False | "auto".  Reversible residuals give O(1) activation
+    # memory in depth (SURVEY.md §3.2) at the cost of re-running every
+    # sublayer in the backward (recompute ~ +1x forward).  Both paths run
+    # the identical two-stream forward (rtts/reversible/rev.py), so this
+    # is purely a speed/memory knob.  "auto" resolves per apply from the
+    # static shapes: plain residuals while the estimated plain-path
+    # transient HBM stays under auto_plain_budget_mb, reversible above
+    # (the measured-crossover doctrine of attention kind="auto";
+    # BENCH.md r3 "reversible vs plain").
+    reversible: Union[bool, str] = True
+    # kind="auto" budget for resolve_reversible, per stack: an estimate of
+    # the plain path's transient activation HBM (attention scores + FFN
+    # hiddens, see _plain_transient_mb) is compared against this.  4 GB per
+    # stack keeps a flagship train step well inside one v5e's 16 GB
+    # together with params/optimizer state; raise it on larger chips.
+    auto_plain_budget_mb: int = 4096
     causal: bool = False
     # fused LN+FFN kernel: measured a wash on v5e (0.95-1.01x vs XLA,
     # BENCH.md r2) — default OFF, available for accuracy-sensitive runs
@@ -328,6 +343,61 @@ def resolve_attention_kind(a: "AttentionConfig", seq_len: int) -> str:
     if a.kind != "auto":
         return a.kind
     return "full" if seq_len <= a.auto_full_max_len else "lsh"
+
+
+def _plain_transient_mb(cfg: "ReformerStackConfig", batch: int, seq_len: int,
+                        mem_len: Optional[int] = None) -> float:
+    """Rough transient-HBM estimate (MB) of the PLAIN-residual train step
+    for one stack: the activations autodiff must store that the reversible
+    path reconstructs instead.
+
+    Dominant terms only (order-of-magnitude is what the auto rule needs;
+    anchored against the measured flagship point — BENCH.md "Memory"):
+    per self-attention layer, full softmax stores its (B, H, L, L) f32
+    probs; LSH/local store O(nh * L * head_dim) sorted streams / windowed
+    scores; each FFN stores its (B, L, d_ff) hidden; cross-attention adds
+    (B, H, L, L_mem)."""
+    a = cfg.attention
+    f32 = 4.0
+    kinds = (list(cfg.attn_layers) if cfg.attn_layers is not None
+             else [a.kind] * cfg.num_layers)
+    total = 0.0
+    for kind in kinds:
+        if kind == "auto":
+            kind = resolve_attention_kind(a, seq_len)
+        if kind == "full":
+            total += batch * a.num_heads * seq_len * seq_len * f32
+        elif kind == "lsh":
+            # sorted q/k/v streams + attend intermediates per hash round
+            total += (batch * a.num_heads * a.num_hashes * seq_len
+                      * a.head_dim * f32 * 8)
+        else:  # local: windowed scores per chunk
+            window = (1 + a.num_chunks_before + a.num_chunks_after)
+            total += (batch * a.num_heads * seq_len * a.chunk_length
+                      * window * f32 * 2)
+        total += batch * seq_len * cfg.d_ff * f32          # FFN hidden
+        if mem_len is not None:                            # cross-attn pair
+            total += batch * a.num_heads * seq_len * mem_len * f32
+            total += batch * seq_len * cfg.d_ff * f32
+    return total / 1e6
+
+
+def resolve_reversible(cfg: "ReformerStackConfig", batch: int, seq_len: int,
+                       mem_len: Optional[int] = None) -> bool:
+    """Resolve reversible="auto" for the given (static) apply shapes.
+
+    Plain residuals win wall-clock at short/mid lengths (no sublayer
+    recompute in the backward) while the activations fit HBM; reversible
+    residuals are what let long/batched shapes train at all (4.8x less
+    transient memory measured at flagship scale — BENCH.md "Memory").
+    Resolution is static under jit, so each bucketed shape compiles its
+    best scheme; forward numerics are identical either way."""
+    if isinstance(cfg.reversible, bool):
+        return cfg.reversible
+    if cfg.reversible != "auto":
+        raise ValueError(
+            f"reversible must be true, false or 'auto', got {cfg.reversible!r}")
+    return _plain_transient_mb(cfg, batch, seq_len, mem_len) > cfg.auto_plain_budget_mb
 
 
 # ---------------------------------------------------------------------------

@@ -231,8 +231,12 @@ def stack_apply(
     # reconstruction error across layers.  Sublayer matmuls still run in the
     # configured compute dtype (casts happen inside f/g); the bf16 sublayer
     # outputs promote back to f32 on the residual add.
+    from rtts.config import resolve_reversible
+
     y = reversible_sequence(
         layer_fns, params["layers"], x.astype(jnp.float32), memory, aux_list,
-        reversible=cfg.reversible,
+        reversible=resolve_reversible(
+            cfg, x.shape[0], x.shape[1],
+            memory.shape[1] if memory is not None else None),
     )
     return layer_norm(params["final_ln"], y)

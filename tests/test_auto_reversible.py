@@ -1,0 +1,120 @@
+"""Shape-aware reversibility resolution (``reversible: "auto"``).
+
+Both residual schemes run the identical two-stream forward
+(rtts/reversible/rev.py) — "auto" only decides whether the backward
+reconstructs activations (reversible, O(1) memory in depth) or stores
+them (plain, no sublayer recompute).  The rule follows the measured
+tradeoff (BENCH.md "reversible vs plain"): plain while the estimated
+plain-path transient HBM fits ``auto_plain_budget_mb``, reversible
+above — same doctrine as ``kind: "auto"``.
+"""
+
+import dataclasses
+
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+import numpy as np
+
+from rtts.config import (
+    AttentionConfig,
+    ReformerStackConfig,
+    _plain_transient_mb,
+    from_dict,
+    resolve_reversible,
+)
+from rtts.models.stack import stack_apply, stack_init
+
+
+def _cfg(reversible, budget_mb=4096, kind="full"):
+    att = AttentionConfig(kind=kind, num_heads=2, head_dim=16, num_hashes=2,
+                          chunk_length=16, num_chunks_before=1, hash_seed=3)
+    return ReformerStackConfig(num_layers=2, d_model=32, d_ff=64,
+                               dropout=0.0, reversible=reversible,
+                               auto_plain_budget_mb=budget_mb, causal=True,
+                               attention=att)
+
+
+def test_resolve_rule():
+    cfg = _cfg("auto")
+    # bool passes through untouched regardless of shapes
+    assert resolve_reversible(_cfg(True), 1024, 8192) is True
+    assert resolve_reversible(_cfg(False), 1024, 8192) is False
+    # tiny shapes fit any sane budget -> plain
+    assert resolve_reversible(cfg, 2, 64) is False
+    # huge shapes blow the budget -> reversible
+    assert resolve_reversible(cfg, 256, 8192) is True
+    # the budget knob moves the boundary
+    assert resolve_reversible(_cfg("auto", budget_mb=0), 2, 64) is True
+
+
+def test_resolve_rejects_unknown_string():
+    cfg = _cfg("sometimes")
+    try:
+        resolve_reversible(cfg, 2, 64)
+    except ValueError as e:
+        assert "auto" in str(e)
+    else:
+        raise AssertionError("expected ValueError for unknown reversible")
+
+
+def test_estimate_scales_with_shapes_and_kind():
+    cfg_full = _cfg("auto", kind="full")
+    cfg_lsh = _cfg("auto", kind="lsh")
+    # full attention's estimate is quadratic in L, LSH's ~linear
+    full_1k = _plain_transient_mb(cfg_full, 8, 1024)
+    full_2k = _plain_transient_mb(cfg_full, 8, 2048)
+    lsh_1k = _plain_transient_mb(cfg_lsh, 8, 1024)
+    lsh_2k = _plain_transient_mb(cfg_lsh, 8, 2048)
+    assert full_2k > 2.5 * full_1k
+    assert lsh_2k < 2.5 * lsh_1k
+    # cross-attention adds a positive term
+    assert _plain_transient_mb(cfg_full, 8, 1024, 256) > full_1k
+    # batch scales linearly
+    assert abs(_plain_transient_mb(cfg_full, 16, 1024) - 2 * full_1k) < 1e-6
+
+
+def test_auto_forward_is_bit_identical_to_reversible():
+    """Plain and reversible run the same op sequence forward — resolution
+    must not change outputs, only the backward's memory scheme."""
+    cfg_auto = _cfg("auto")               # small shape -> resolves plain
+    cfg_rev = _cfg(True)
+    params = stack_init(jax.random.PRNGKey(0), cfg_auto, cross_attend=False)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 48, 32))
+    mask = jnp.ones((2, 48), bool)
+    y_auto = stack_apply(params, cfg_auto, x, mask, rng=jax.random.PRNGKey(2))
+    y_rev = stack_apply(params, cfg_rev, x, mask, rng=jax.random.PRNGKey(2))
+    np.testing.assert_array_equal(np.asarray(y_auto), np.asarray(y_rev))
+
+
+def test_auto_grads_close_to_reversible():
+    cfg_auto = _cfg("auto")
+    cfg_rev = _cfg(True)
+    params = stack_init(jax.random.PRNGKey(0), cfg_auto, cross_attend=False)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 48, 32))
+    mask = jnp.ones((2, 48), bool)
+
+    def loss(p, cfg):
+        return jnp.sum(stack_apply(p, cfg, x, mask,
+                                   rng=jax.random.PRNGKey(2)) ** 2)
+
+    g_auto = jax.grad(loss)(params, cfg_auto)
+    g_rev = jax.grad(loss)(params, cfg_rev)
+    fa, _ = jax.flatten_util.ravel_pytree(g_auto)
+    fr, _ = jax.flatten_util.ravel_pytree(g_rev)
+    assert np.isfinite(np.asarray(fa)).all()
+    np.testing.assert_allclose(np.asarray(fa), np.asarray(fr),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_yaml_accepts_auto_and_bool():
+    c = from_dict(ReformerStackConfig, {"reversible": "auto"})
+    assert c.reversible == "auto"
+    c = from_dict(ReformerStackConfig, {"reversible": False})
+    assert c.reversible is False
+    # dot-path overrides parse both spellings
+    from rtts.config import apply_overrides
+    d = apply_overrides({}, ["encoder.reversible=auto"])
+    assert d["encoder"]["reversible"] == "auto"
+    d = apply_overrides({}, ["encoder.reversible=false"])
+    assert d["encoder"]["reversible"] is False
