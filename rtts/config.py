@@ -267,6 +267,15 @@ class OptimConfig:
     beta1: float = 0.9
     beta2: float = 0.98
     eps: float = 1e-9
+    # Gradient accumulation (SURVEY.md §3.1 #14: the reference's Lightning
+    # trainer exposes accumulate_grad_batches; here it is an optimizer
+    # property via optax.MultiSteps).  >1 => every optimizer update
+    # consumes the MEAN gradient of that many consecutive micro-batches —
+    # an effective batch of accumulate_steps * batch_size on the same HBM
+    # footprint.  Clipping and the LR schedule act per optimizer update
+    # (warmup_steps counts updates, not micro-steps), matching Lightning's
+    # semantics of clipping the accumulated gradient.
+    accumulate_steps: int = 1
 
 
 @dataclass(frozen=True)

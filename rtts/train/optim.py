@@ -46,4 +46,15 @@ def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
     chain.append(optax.scale_by_learning_rate(sched))
-    return optax.chain(*chain)
+    opt = optax.chain(*chain)
+    if cfg.accumulate_steps > 1:
+        # MultiSteps accumulates the running MEAN gradient across
+        # accumulate_steps micro-batches and applies the inner chain once
+        # per cycle (identity updates in between) — clipping and the LR
+        # schedule therefore see the accumulated gradient / update count,
+        # the Lightning accumulate_grad_batches semantics the reference
+        # inherits (SURVEY.md §3.1 #14).  The wrapped state is a plain
+        # pytree (counters + grad accumulator mirroring the param tree),
+        # so checkpointing and the TP/ZeRO sharding rules apply unchanged.
+        opt = optax.MultiSteps(opt, every_k_schedule=cfg.accumulate_steps)
+    return opt
