@@ -67,16 +67,25 @@ def full_attention(
     scale: Optional[float] = None,
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    impl: str = "naive",
 ) -> jnp.ndarray:
     """Masked softmax attention on (B, H, L, d) tensors.
 
     Softmax runs in float32 (logsumexp-stable) regardless of input dtype.
     ``dropout_rate`` > 0 (with a key) applies attention-probs dropout — the
     reference lineage's attention regularizer (SURVEY.md §3.2 config row).
+    ``impl="flash"`` routes through the Pallas online-softmax kernel (no
+    L^2 score tensor in HBM; rtts/ops/flash_attention.py) — callers resolve
+    the knob via ``resolve_flash_impl`` so dropout/shape gating is uniform.
     """
     d = q.shape[-1]
     if scale is None:
         scale = d ** -0.5
+    if impl == "flash":
+        from rtts.ops.flash_attention import flash_attend
+
+        return flash_attend(q, k, v, kv_mask=kv_mask, causal=causal,
+                            self_mask=False, sm_scale=scale)
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
     if kv_mask is not None:
         logits = jnp.where(kv_mask[:, None, None, :], logits, MASK_VALUE)
@@ -100,13 +109,15 @@ def cross_attention(
     compute_dtype=None,
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    impl: str = "naive",
 ) -> jnp.ndarray:
     """Standard decoder->encoder attention: x (B,Lq,D), memory (B,Lk,D)."""
     q = _split_heads(dense(params["w_q"], x, compute_dtype), num_heads)
     k = _split_heads(dense(params["w_k"], memory, compute_dtype), num_heads)
     v = _split_heads(dense(params["w_v"], memory, compute_dtype), num_heads)
     out = full_attention(q, k, v, kv_mask=memory_mask, causal=False,
-                         dropout_rate=dropout_rate, dropout_rng=dropout_rng)
+                         dropout_rate=dropout_rate, dropout_rng=dropout_rng,
+                         impl=impl)
     return dense(params["w_o"], _merge_heads(out), compute_dtype)
 
 
@@ -156,17 +167,28 @@ def shared_qk_self_attention(
     compute_dtype=None,
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    impl: str = "naive",
 ) -> jnp.ndarray:
     """Reformer full-softmax fallback self-attention (see module docstring).
 
     x: (B, L, D); mask: (B, L) bool validity.  ``dropout_rate``/``dropout_rng``
     apply attention-probs dropout (identity when the key is None).
+    ``impl="flash"`` uses the Pallas online-softmax kernel with the exact
+    same replace-semantics masks (-1e9 pad/causal, -1e5 self); the length
+    normalization and 1/sqrt(d) key scaling stay out here so gradients chain
+    through them identically on both paths.
     """
     qk = _split_heads(dense(params["w_qk"], x, compute_dtype), num_heads)
     v = _split_heads(dense(params["w_v"], x, compute_dtype), num_heads)
     d = qk.shape[-1]
     q = qk
     k = _len_norm(qk) * (d ** -0.5)
+    if impl == "flash":
+        from rtts.ops.flash_attention import flash_attend
+
+        out = flash_attend(q, k, v, kv_mask=mask, causal=causal,
+                           self_mask=True, sm_scale=1.0)
+        return dense(params["w_o"], _merge_heads(out), compute_dtype)
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
     L = x.shape[1]
     pos = jnp.arange(L)

@@ -132,6 +132,15 @@ class AttentionConfig:
     # backend.  The kernel stays available (more accurate: f32-accumulated
     # scores, 10x closer to the f32 oracle than XLA's bf16 path).
     use_pallas: bool = False
+    # flash (online-softmax) Pallas kernel for the FULL-attention paths
+    # (kind full / auto->full self-attention and cross-attention):
+    # true | false | "auto".  Unlike the retired chunk-
+    # attend kernel this one CUTS bytes (no (B,H,L,L) score tensor in HBM)
+    # instead of restreaming them, so the Pallas half-bandwidth ceiling
+    # does not apply.  "auto" = flash on TPU when both sequence lengths are
+    # 128-multiples, no attention dropout is live, and one side is >= 512
+    # positions (rtts/ops/flash_attention.py::resolve_flash_impl).
+    flash: Union[bool, str] = "auto"
 
 
 @dataclass(frozen=True)

@@ -43,10 +43,13 @@ def _self_attention(kind: str, params, x, mask, causal, cfg: ReformerStackConfig
                     and a.attention_dropout > 0.0)
                 else None)
     if kind == "full":
+        from rtts.ops.flash_attention import resolve_flash_impl
+
         out = shared_qk_self_attention(
             params, x, mask=mask, causal=causal,
             num_heads=a.num_heads, compute_dtype=compute_dtype,
             dropout_rate=a.attention_dropout, dropout_rng=drop_rng,
+            impl=resolve_flash_impl(a.flash, x.shape[1], x.shape[1], drop_rng),
         )
         return out, None
     if kind == "lsh":
@@ -116,6 +119,8 @@ def make_stack_layer_fns(
         return f_self
 
     def f_cross(params, x, memory, aux, cache):
+        from rtts.ops.flash_attention import resolve_flash_impl
+
         h = layer_norm(params["ln"], x)
         drop_rng = (jax.random.fold_in(aux["rng_f"], 7)
                     if (not deterministic and a.attention_dropout > 0.0)
@@ -124,6 +129,8 @@ def make_stack_layer_fns(
             params["attn"], h, memory, memory_mask=aux["memory_mask"],
             num_heads=a.num_heads, compute_dtype=compute_dtype,
             dropout_rate=a.attention_dropout, dropout_rng=drop_rng,
+            impl=resolve_flash_impl(a.flash, h.shape[1], memory.shape[1],
+                                    drop_rng),
         )
         out = dropout(jax.random.fold_in(aux["rng_f"], 1), out, cfg.dropout,
                       deterministic)

@@ -1,0 +1,191 @@
+"""Same-process A/B: flash (online-softmax Pallas) vs naive full attention.
+
+Two levels, mirroring how the depthwise/attend kernels were judged
+(BENCH.md "measured, and acted on"):
+
+1. kernel: the shared-QK full-softmax sublayer, forward and forward+
+   backward, naive vs flash at flagship widths over a length sweep.
+2. train: the REAL flagship train step (fwd+bwd+Adam) with the flash knob
+   on/off, including the long-length points where naive full attention
+   collapses (its (B,H,L,L) f32 scores are pure HBM traffic) and the 8k
+   point against the LSH path that currently owns it — plus a
+   reversible-vs-plain cross: flash's custom_vjp saves only O(L*d)
+   residuals, which moves the reversible/plain crossover too.
+
+Run on the TPU:
+
+    PYTHONPATH=/root/repo:/root/.axon_site python scripts/probe_flash.py \
+        [kernel|train|all]
+"""
+
+import dataclasses
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from rtts.attention.full import attention_init, shared_qk_self_attention
+from rtts.bench import (_build, _compiled_flops, _mfu, _sync, _time_loop,
+                        flagship_bench_config)
+from rtts.models import reformer_tts as M
+from rtts.train.losses import make_stop_target, tts_loss
+from rtts.train.optim import make_optimizer
+from rtts.utils.profiling import enable_compilation_cache
+
+REPEATS = 5
+
+
+def _attn_cfg(cfg, *, kind=None, flash=None, reversible=None):
+    def fix_stack(stack):
+        a = stack.attention
+        if kind is not None:
+            a = dataclasses.replace(a, kind=kind)
+        if flash is not None:
+            a = dataclasses.replace(a, flash=flash)
+        kw = {"attention": a}
+        if reversible is not None:
+            kw["reversible"] = reversible
+        return dataclasses.replace(stack, **kw)
+
+    model = dataclasses.replace(cfg.model,
+                                encoder=fix_stack(cfg.model.encoder),
+                                decoder=fix_stack(cfg.model.decoder))
+    return dataclasses.replace(cfg, model=model)
+
+
+def probe_kernel():
+    print("== kernel: shared-QK full sublayer, naive vs flash "
+          "(b8 h8 d512, bf16, causal) ==")
+    params = attention_init(jax.random.PRNGKey(0), 512, 8, 64, shared_qk=True)
+    for L in (512, 1024, 2048, 4096):
+        x = jax.random.normal(jax.random.PRNGKey(1), (8, L, 512),
+                              jnp.float32)
+
+        def fwd(impl):
+            def f(x, p):
+                return shared_qk_self_attention(
+                    p, x, mask=None, causal=True, num_heads=8,
+                    compute_dtype=jnp.bfloat16, impl=impl).astype(x.dtype)
+            return f
+
+        def fwdbwd(impl):
+            def f(x, p):
+                return jax.grad(lambda xx: jnp.sum(
+                    shared_qk_self_attention(
+                        p, xx, mask=None, causal=True, num_heads=8,
+                        compute_dtype=jnp.bfloat16, impl=impl)))(x)
+            return f
+
+        iters = max(4, 4096 // L * 4)
+        row = {}
+        for tag, mk in (("fwd", fwd), ("fwd+bwd", fwdbwd)):
+            t_naive = _time_loop(mk("naive"), x, (params,), iters=iters,
+                                 repeats=REPEATS)
+            t_flash = _time_loop(mk("flash"), x, (params,), iters=iters,
+                                 repeats=REPEATS)
+            row[tag] = (t_naive, t_flash)
+        print(f"L={L:5d}  fwd naive {row['fwd'][0]*1e3:7.2f} ms  "
+              f"flash {row['fwd'][1]*1e3:7.2f} ms  "
+              f"({row['fwd'][0]/row['fwd'][1]:4.2f}x)   "
+              f"fwd+bwd naive {row['fwd+bwd'][0]*1e3:7.2f} ms  "
+              f"flash {row['fwd+bwd'][1]*1e3:7.2f} ms  "
+              f"({row['fwd+bwd'][0]/row['fwd+bwd'][1]:4.2f}x)", flush=True)
+
+
+def _make_step(cfg, batch, token_len, mel_len):
+    params = _build(cfg)
+    optimizer = make_optimizer(cfg.experiment.optim)
+    opt_state = optimizer.init(params)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (batch, token_len),
+                                3, cfg.model.vocab_size)
+    tmask = jnp.ones((batch, token_len), bool)
+    mel = jax.random.normal(jax.random.PRNGKey(2),
+                            (batch, mel_len, cfg.model.n_mels))
+    mmask = jnp.ones((batch, mel_len), bool)
+
+    @jax.jit
+    def step(p, s, rng):
+        def loss_fn(p):
+            pre, post, stop = M.forward(p, cfg.model, tokens, tmask, mel,
+                                        mmask, rng=rng, deterministic=False)
+            return tts_loss(pre, post, stop, mel, make_stop_target(mmask),
+                            mmask)[0]
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = optimizer.update(grads, s)
+        return optax.apply_updates(p, updates), s, loss
+
+    return step, params, opt_state
+
+
+def _time_step(step, params, opt_state):
+    rng = jax.random.PRNGKey(3)
+    p, s, _ = _sync(step(params, opt_state, rng))
+    times = []
+    for i in range(REPEATS):
+        t0 = time.perf_counter()
+        p, s, loss = _sync(step(p, s, jax.random.fold_in(rng, i)))
+        times.append(time.perf_counter() - t0)
+    try:
+        mem = step.lower(params, opt_state, rng).compile().memory_analysis()
+        temp_mb = mem.temp_size_in_bytes / 1e6
+    except Exception:
+        temp_mb = float("nan")
+    flops = _compiled_flops(step, params, opt_state, rng)
+    return min(times), temp_mb, flops, float(loss)
+
+
+def probe_train():
+    base = flagship_bench_config()
+    points = [(8, 1024), (8, 2048), (2, 4096), (2, 8192)]
+    print("== train step: flagship fwd+bwd+Adam, kind=full naive vs flash "
+          "(reversible true), + plain-residual flash, + 8k LSH reference ==")
+    for batch, mel_len in points:
+        token_len = 256
+        variants = [
+            ("full naive rev", dict(kind="full", flash=False,
+                                    reversible=True)),
+            ("full flash rev", dict(kind="full", flash=True,
+                                    reversible=True)),
+            ("full flash plain", dict(kind="full", flash=True,
+                                      reversible=False)),
+        ]
+        if mel_len >= 4096:
+            variants.append(("lsh (shipped long)", dict(kind="lsh",
+                                                        flash=False,
+                                                        reversible=True)))
+        if mel_len >= 8192:
+            # naive full at 8k needs ~17 GB of scores; skip it (BENCH.md
+            # already measured its collapse at 2.9k f/s)
+            variants = [v for v in variants if v[0] != "full naive rev"]
+        for name, kw in variants:
+            cfg = _attn_cfg(base, **kw)
+            if mel_len > 1024:
+                cfg = dataclasses.replace(
+                    cfg, model=dataclasses.replace(cfg.model,
+                                                   max_pos=mel_len))
+            try:
+                step, p0, s0 = _make_step(cfg, batch, token_len, mel_len)
+                dt, temp_mb, flops, loss = _time_step(step, p0, s0)
+                fps = batch * mel_len / dt
+                print(f"b{batch} x {mel_len:5d}  {name:18s} "
+                      f"{dt*1e3:8.1f} ms  {fps:9,.0f} f/s  "
+                      f"temp {temp_mb:7.0f} MB  MFU "
+                      f"{(_mfu(flops, dt) or 0)*100:5.2f}%  loss {loss:.3f}",
+                      flush=True)
+            except Exception as e:
+                print(f"b{batch} x {mel_len:5d}  {name:18s} FAILED: "
+                      f"{type(e).__name__}: {e}", flush=True)
+            finally:
+                del step, p0, s0
+
+
+if __name__ == "__main__":
+    enable_compilation_cache()
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    print(f"devices: {jax.devices()}")
+    if which in ("kernel", "all"):
+        probe_kernel()
+    if which in ("train", "all"):
+        probe_train()
