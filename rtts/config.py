@@ -137,9 +137,9 @@ class AttentionConfig:
     # true | false | "auto".  Unlike the retired chunk-
     # attend kernel this one CUTS bytes (no (B,H,L,L) score tensor in HBM)
     # instead of restreaming them, so the Pallas half-bandwidth ceiling
-    # does not apply.  "auto" = flash on TPU when both sequence lengths are
-    # 128-multiples, no attention dropout is live, and one side is >= 512
-    # positions (rtts/ops/flash_attention.py::resolve_flash_impl).
+    # does not apply.  "auto" = flash on TPU when no attention dropout is
+    # live and one side is >= 512 positions (non-128-multiple lengths pad
+    # transparently; rtts/ops/flash_attention.py::resolve_flash_impl).
     flash: Union[bool, str] = "auto"
 
 

@@ -59,18 +59,19 @@ _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 
 def flash_supported(l_q: int, l_k: int) -> bool:
-    """Static-shape gate: both sequence axes must tile into 128-lanes."""
-    return l_q >= _LANES and l_k >= _LANES and l_q % _LANES == 0 and l_k % _LANES == 0
+    """Any positive static lengths work: non-128-multiples are transparently
+    padded (masked keys / sliced query rows) inside ``flash_attend``."""
+    return l_q >= 1 and l_k >= 1
 
 
 def resolve_flash_impl(knob, l_q: int, l_k: int,
                        dropout_rng: Optional[jax.Array] = None) -> str:
     """Resolve the AttentionConfig.flash knob to 'flash' | 'naive'.
 
-    true   -> flash wherever legal (raises on unsupported shapes; runs in
+    true   -> flash (raises if attention dropout is live; runs in
               interpret mode off-TPU — the test path)
     false  -> naive
-    "auto" -> flash on TPU, no live dropout, supported shapes, and at least
+    "auto" -> flash on TPU, no live dropout, and at least
               FLASH_AUTO_MIN_LEN positions on one side (measured crossover)
     """
     if knob in (False, None):
@@ -80,14 +81,9 @@ def resolve_flash_impl(knob, l_q: int, l_k: int,
             raise ValueError(
                 "flash: true cannot apply attention-probs dropout; set "
                 "attention_dropout: 0 or flash: auto/false")
-        if not flash_supported(l_q, l_k):
-            raise ValueError(
-                f"flash: true requires both sequence lengths to be multiples "
-                f"of {_LANES}, got ({l_q}, {l_k}); use flash: auto to fall "
-                f"back automatically")
         return "flash"
     if knob == "auto":
-        if dropout_rng is not None or not flash_supported(l_q, l_k):
+        if dropout_rng is not None:
             return "naive"
         if jax.devices()[0].platform != "tpu":
             return "naive"
@@ -461,13 +457,32 @@ def flash_attend(
     Numerically equivalent (refusion-class f32 reduction differences) to
     `full_attention` / the score part of `shared_qk_self_attention` in
     `rtts/attention/full.py`; differentiable via the FA2 backward.
+
+    Non-128-multiple lengths are handled by transparent padding: extra KEY
+    rows enter with kv_mask=False (so no query ever sees them) and extra
+    QUERY rows are sliced off the output — original positions, causal and
+    self comparisons are untouched, so semantics are exact.  The training
+    buckets quantize mel lengths to 64-multiples (DatasetConfig
+    .mel_pad_to_multiple), so this is what lets every bucket >= the auto
+    threshold use the kernel.
     """
     b, h, l_q, dh = q.shape
     l_k = k.shape[2]
-    if not flash_supported(l_q, l_k):
-        raise ValueError(
-            f"flash_attend requires sequence lengths that are multiples of "
-            f"{_LANES}, got ({l_q}, {l_k})")
+    l_qp = -(-l_q // _LANES) * _LANES
+    l_kp = -(-l_k // _LANES) * _LANES
+    if l_qp != l_q or l_kp != l_k:
+        if kv_mask is None:
+            kv_mask = jnp.ones((b, l_k), bool)
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, l_qp - l_q), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, l_kp - l_k), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, l_kp - l_k), (0, 0)))
+        kv_mask = jnp.pad(kv_mask, ((0, 0), (0, l_kp - l_k)))
+        out = flash_attend(
+            q, k, v, kv_mask, causal=causal, self_mask=self_mask,
+            sm_scale=sm_scale, mask_value=mask_value,
+            self_mask_value=self_mask_value, block_q=block_q,
+            block_k=block_k, interpret=interpret)
+        return out[:, :, :l_q]
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     bq = block_q or _pick_block(l_q)

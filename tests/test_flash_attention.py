@@ -176,16 +176,36 @@ def test_resolver_rules():
     assert resolve_flash_impl("auto", 1024, 1024, dropout_rng=key) == "naive"
     with pytest.raises(ValueError):
         resolve_flash_impl(True, 1024, 1024, dropout_rng=key)
-    # unsupported shapes -> naive (auto) / error (forced)
-    assert resolve_flash_impl("auto", 1000, 1024) == "naive"
-    with pytest.raises(ValueError):
-        resolve_flash_impl(True, 1000, 1024)
+    # non-128-multiple shapes are fine (transparent padding)
+    assert resolve_flash_impl(True, 1000, 1024) == "flash"
     with pytest.raises(ValueError):
         resolve_flash_impl("sometimes", 1024, 1024)
     # auto requires a TPU (this test process is CPU-pinned)
     assert resolve_flash_impl("auto", 4096, 4096) == "naive"
-    assert not flash_supported(64, 64)
+    assert flash_supported(64, 64)
     assert flash_supported(FLASH_AUTO_MIN_LEN, 128)
+
+
+@pytest.mark.parametrize("lq,lk", [(192, 192), (256, 96), (100, 260)])
+def test_flash_padded_lengths_match_naive(rng, lq, lk):
+    """Non-128-multiple lengths: padded keys are masked off, padded query
+    rows sliced off — outputs and grads must match the naive oracle."""
+    q = jnp.asarray(rng.normal(size=(B, H, lq, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, H, lk, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, H, lk, D)), jnp.float32)
+    mask = _mask(rng, lk=lk)
+    causal = lq == lk
+    ref = full_attention(q, k, v, kv_mask=mask, causal=causal, scale=0.25)
+    out = flash_attend(q, k, v, kv_mask=mask, causal=causal, sm_scale=0.25)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    g_ref = jax.grad(lambda q: jnp.sum(full_attention(
+        q, k, v, kv_mask=mask, causal=causal, scale=0.25) ** 2))(q)
+    g_out = jax.grad(lambda q: jnp.sum(flash_attend(
+        q, k, v, kv_mask=mask, causal=causal, sm_scale=0.25) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref),
+                               rtol=3e-5, atol=3e-5)
 
 
 def test_stack_flash_knob_matches_naive(rng):
