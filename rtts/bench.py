@@ -857,6 +857,35 @@ def bench_kernels(repeats: int = 5) -> Dict[str, Any]:
     results["depthwise_conv_fwd"] = {"xla_ms": t_ref * 1e3,
                                      "pallas_ms": t_pl * 1e3,
                                      "speedup": t_ref / t_pl}
+
+    # ---- flash attention (flagship full-path: b8 h8 L1024 d512, causal) ---
+    from rtts.attention.full import attention_init, shared_qk_self_attention
+
+    ap = attention_init(jax.random.PRNGKey(7), 512, 8, 64, shared_qk=True)
+    xa = jax.random.normal(jax.random.PRNGKey(8), (8, 1024, 512), jnp.float32)
+
+    def _attn(impl):
+        def f(xx, p):
+            return shared_qk_self_attention(
+                p, xx, mask=None, causal=True, num_heads=8,
+                compute_dtype=jnp.bfloat16, impl=impl).astype(xx.dtype)
+        return f
+
+    if on_tpu:  # naive-vs-flash only meaningful on the real chip
+        t_ref = _time_loop(_attn("naive"), xa, (ap,), repeats=repeats)
+        t_pl = _time_loop(_attn("flash"), xa, (ap,), repeats=repeats)
+        results["flash_attend_fwd"] = {"xla_ms": t_ref * 1e3,
+                                       "pallas_ms": t_pl * 1e3,
+                                       "speedup": t_ref / t_pl}
+        g_ref = lambda xx, p: jax.grad(
+            lambda a: _attn("naive")(a, p).sum())(xx)
+        g_pl = lambda xx, p: jax.grad(
+            lambda a: _attn("flash")(a, p).sum())(xx)
+        t_ref = _time_loop(g_ref, xa, (ap,), repeats=repeats)
+        t_pl = _time_loop(g_pl, xa, (ap,), repeats=repeats)
+        results["flash_attend_fwdbwd"] = {"xla_ms": t_ref * 1e3,
+                                          "pallas_ms": t_pl * 1e3,
+                                          "speedup": t_ref / t_pl}
     return results
 
 
