@@ -52,7 +52,8 @@ _LANES = 128
 
 # "auto" uses flash from this many positions: below it the naive path's
 # score tensor is small enough that XLA's fused softmax wins on dispatch
-# overhead (tuned on the v5e bench — see BENCH.md round-3 flash section).
+# overhead.  Prior pending the TPU sweep (scripts/probe_flash.py writes the
+# measured crossover to BENCH.md; update this constant from that table).
 FLASH_AUTO_MIN_LEN = 512
 
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
