@@ -55,6 +55,37 @@ def _attn_cfg(cfg, *, kind=None, flash=None, reversible=None):
     return dataclasses.replace(cfg, model=model)
 
 
+def probe_accuracy():
+    """First time the kernel meets real Mosaic hardware (tests ran the CPU
+    interpreter): check fwd + grads vs the naive path before timing."""
+    import numpy as np
+
+    print("== accuracy: flash vs naive on-device (b2 h4 L512 d64) ==")
+    params = attention_init(jax.random.PRNGKey(0), 512, 4, 64, shared_qk=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 512, 512), jnp.float32)
+    mask = jnp.arange(512)[None, :] < jnp.array([512, 389])[:, None]
+
+    def run(impl):
+        def loss(xx):
+            return jnp.sum(shared_qk_self_attention(
+                params, xx, mask=mask, causal=True, num_heads=4,
+                compute_dtype=jnp.bfloat16,
+                impl=impl).astype(jnp.float32) ** 2)
+        val, grad = jax.value_and_grad(loss)(x)
+        return float(val), np.asarray(grad, np.float32)
+
+    v_n, g_n = run("naive")
+    v_f, g_f = run("flash")
+    rel_v = abs(v_f - v_n) / max(abs(v_n), 1e-9)
+    rel_g = float(np.max(np.abs(g_f - g_n))) / max(
+        float(np.max(np.abs(g_n))), 1e-9)
+    print(f"loss rel diff {rel_v:.2e}   grad max rel diff {rel_g:.2e}",
+          flush=True)
+    if rel_v > 1e-2 or rel_g > 5e-2:
+        raise SystemExit(f"flash-vs-naive mismatch on hardware: "
+                         f"{rel_v:.3e}/{rel_g:.3e}")
+
+
 def probe_kernel():
     print("== kernel: shared-QK full sublayer, naive vs flash "
           "(b8 h8 d512, bf16, causal) ==")
@@ -184,7 +215,9 @@ def probe_train():
 if __name__ == "__main__":
     enable_compilation_cache()
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
-    print(f"devices: {jax.devices()}")
+    print(f"devices: {jax.devices()}", flush=True)
+    if which in ("accuracy", "kernel", "all"):
+        probe_accuracy()
     if which in ("kernel", "all"):
         probe_kernel()
     if which in ("train", "all"):
