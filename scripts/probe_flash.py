@@ -169,7 +169,7 @@ def _time_step(step, params, opt_state):
 
 def probe_train():
     base = flagship_bench_config()
-    points = [(8, 1024), (8, 2048), (2, 4096), (2, 8192)]
+    points = [(8, 1024), (8, 2048), (2, 4096), (2, 8192), (1, 16384)]
     print("== train step: flagship fwd+bwd+Adam, kind=full naive vs flash "
           "(reversible true), + plain-residual flash, + 8k LSH reference ==")
     for batch, mel_len in points:
