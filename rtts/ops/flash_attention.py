@@ -160,7 +160,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mf_ref, o_ref, *rest, causal, self_mask,
                                 preferred_element_type=jnp.float32)
         if sm_scale != 1.0:
             s = s * sm_scale
-        s = _apply_masks(s, mf_ref[...] > 0.5, qi, ki, bq, bk, causal,
+        s = _apply_masks(s, mf_ref[0] > 0.5, qi, ki, bq, bk, causal,
                          self_mask, mask_value, self_mask_value)
         m_prev = m_scr[...]
         l_prev = l_scr[...]
@@ -222,7 +222,10 @@ def _fwd_impl(q3, k3, v3, mf, heads, causal, self_mask, sm_scale, mask_value,
             pl.BlockSpec((1, bq, dh), lambda b, qi, ki: (b, qi, 0)),
             pl.BlockSpec((1, bk, dh), lambda b, qi, ki: (b, ki, 0)),
             pl.BlockSpec((1, bk, dh), lambda b, qi, ki: (b, ki, 0)),
-            pl.BlockSpec((1, bk), lambda b, qi, ki: (b // heads, ki)),
+            # mask rides as (B, 1, Lk): a (1, 1, bk) block's last-two dims
+            # are (1, bk) == (array dim, 128-multiple) — the (1, bk) 2-D
+            # layout trips Mosaic's sublane tiling rule (CLAUDE.md).
+            pl.BlockSpec((1, 1, bk), lambda b, qi, ki: (b // heads, 0, ki)),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -251,7 +254,7 @@ def _recompute_tile(q_ref, k_ref, mf_ref, lse_ref, qi, ki, causal, self_mask,
                             preferred_element_type=jnp.float32)
     if sm_scale != 1.0:
         s = s * sm_scale
-    s = _apply_masks(s, mf_ref[...] > 0.5, qi, ki, bq, bk, causal, self_mask,
+    s = _apply_masks(s, mf_ref[0] > 0.5, qi, ki, bq, bk, causal, self_mask,
                      mask_value, self_mask_value)
     p = jnp.exp(s - jnp.tile(lse_ref[0], (1, bk // _LANES)))
     return p
@@ -358,7 +361,8 @@ def _bwd_impl(q3, k3, v3, mf, out, lse, do, heads, causal, self_mask,
             pl.BlockSpec((1, bq, dh), lambda b, ki, qi: (b, qi, 0)),      # o
             pl.BlockSpec((1, bq, dh), lambda b, ki, qi: (b, qi, 0)),      # do
             pl.BlockSpec((1, bq, _LANES), lambda b, ki, qi: (b, qi, 0)),  # lse
-            pl.BlockSpec((1, bk), lambda b, ki, qi: (b // heads, ki)),    # mask
+            pl.BlockSpec((1, 1, bk),
+                         lambda b, ki, qi: (b // heads, 0, ki)),          # mask
         ],
         out_specs=[
             pl.BlockSpec((1, bk, dh), lambda b, ki, qi: (b, ki, 0)),
@@ -389,7 +393,8 @@ def _bwd_impl(q3, k3, v3, mf, out, lse, do, heads, causal, self_mask,
             pl.BlockSpec((1, bq, dh), lambda b, qi, ki: (b, qi, 0)),      # o
             pl.BlockSpec((1, bq, dh), lambda b, qi, ki: (b, qi, 0)),      # do
             pl.BlockSpec((1, bq, _LANES), lambda b, qi, ki: (b, qi, 0)),  # lse
-            pl.BlockSpec((1, bk), lambda b, qi, ki: (b // heads, ki)),    # mask
+            pl.BlockSpec((1, 1, bk),
+                         lambda b, qi, ki: (b // heads, 0, ki)),          # mask
         ],
         out_specs=[pl.BlockSpec((1, bq, dh), lambda b, qi, ki: (b, qi, 0))],
         out_shape=[jax.ShapeDtypeStruct(q3.shape, q3.dtype)],
@@ -492,9 +497,9 @@ def flash_attend(
     k3 = k.reshape(b * h, l_k, dh)
     v3 = v.reshape(b * h, l_k, dh)
     if kv_mask is None:
-        mf = jnp.ones((b, l_k), jnp.float32)
+        mf = jnp.ones((b, 1, l_k), jnp.float32)
     else:
-        mf = kv_mask.astype(jnp.float32)
+        mf = kv_mask.astype(jnp.float32).reshape(b, 1, l_k)
     out = _flash(q3, k3, v3, mf, h, bool(causal), bool(self_mask),
                  float(sm_scale), float(mask_value), float(self_mask_value),
                  bq, bk, bool(interpret))
