@@ -52,9 +52,11 @@ _LANES = 128
 
 # "auto" uses flash from this many positions: below it the naive path's
 # score tensor is small enough that XLA's fused softmax wins on dispatch
-# overhead.  Prior pending the TPU sweep (scripts/probe_flash.py writes the
-# measured crossover to BENCH.md; update this constant from that table).
-FLASH_AUTO_MIN_LEN = 512
+# overhead.  Measured on the v5e (scripts/probe_flash.py kernel sweep,
+# BENCH.md r3 "Flash attention"): at L=512 flash is 0.98x fwd / 0.88x
+# fwd+bwd (loses), at L=1024 it is 1.26x / 1.51x and the win grows with
+# length (3.55x / 2.94x at 4096) — crossover between 512 and 1024.
+FLASH_AUTO_MIN_LEN = 1024
 
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
