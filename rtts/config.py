@@ -384,7 +384,13 @@ def _plain_transient_mb(cfg: "ReformerStackConfig", batch: int, seq_len: int,
         if kind == "auto":
             kind = resolve_attention_kind(a, seq_len)
         if kind == "full":
-            total += batch * a.num_heads * seq_len * seq_len * f32
+            if _flash_engages(a, seq_len, seq_len):
+                # flash custom_vjp saves only (q, k, v, o, lse): O(L*d) —
+                # the L^2 probs never exist (BENCH.md r3 "Flash attention")
+                total += (batch * a.num_heads * seq_len
+                          * (4 * a.head_dim + 128) * f32)
+            else:
+                total += batch * a.num_heads * seq_len * seq_len * f32
         elif kind == "lsh":
             # sorted q/k/v streams + attend intermediates per hash round
             total += (batch * a.num_heads * a.num_hashes * seq_len
@@ -395,9 +401,28 @@ def _plain_transient_mb(cfg: "ReformerStackConfig", batch: int, seq_len: int,
                       * window * f32 * 2)
         total += batch * seq_len * cfg.d_ff * f32          # FFN hidden
         if mem_len is not None:                            # cross-attn pair
-            total += batch * a.num_heads * seq_len * mem_len * f32
+            if _flash_engages(a, seq_len, mem_len):
+                total += (batch * a.num_heads * (seq_len + mem_len)
+                          * (2 * a.head_dim + 64) * f32)
+            else:
+                total += batch * a.num_heads * seq_len * mem_len * f32
             total += batch * seq_len * cfg.d_ff * f32
     return total / 1e6
+
+
+def _flash_engages(a: "AttentionConfig", l_q: int, l_k: int) -> bool:
+    """Whether the flash kernel will own the full-softmax path at these
+    static shapes — used by the reversible-auto memory estimate.  Assumes
+    naive whenever attention-probs dropout is configured (training runs
+    with a live dropout rng fall back to naive regardless of the knob)."""
+    if a.attention_dropout > 0.0:
+        return False
+    try:
+        from rtts.ops.flash_attention import resolve_flash_impl
+
+        return resolve_flash_impl(a.flash, l_q, l_k) == "flash"
+    except ValueError:
+        return False
 
 
 def resolve_reversible(cfg: "ReformerStackConfig", batch: int, seq_len: int,

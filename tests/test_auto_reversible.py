@@ -74,6 +74,28 @@ def test_estimate_scales_with_shapes_and_kind():
     assert abs(_plain_transient_mb(cfg_full, 16, 1024) - 2 * full_1k) < 1e-6
 
 
+def test_estimate_is_flash_aware():
+    """With the flash kernel owning the full path the L^2 probs never
+    materialize — plain residuals store only O(L*d) custom_vjp residuals,
+    so the estimate must drop from quadratic to ~linear (else reversible
+    "auto" recomputes sublayers to save memory that was never spent)."""
+    naive = _cfg("auto", kind="full")
+    flash = dataclasses.replace(
+        naive, attention=dataclasses.replace(naive.attention, flash=True))
+    n_2k, f_2k = (_plain_transient_mb(c, 8, 2048) for c in (naive, flash))
+    assert f_2k < n_2k / 8
+    # ~linear in L under flash
+    assert _plain_transient_mb(flash, 8, 4096) < 2.5 * f_2k
+    # cross-attention term shrinks too
+    assert (_plain_transient_mb(flash, 8, 2048, 2048)
+            < _plain_transient_mb(naive, 8, 2048, 2048) / 8)
+    # live attention-probs dropout forces the naive path -> quadratic again
+    dropped = dataclasses.replace(
+        flash, attention=dataclasses.replace(flash.attention,
+                                             attention_dropout=0.1))
+    assert _plain_transient_mb(dropped, 8, 2048) == n_2k
+
+
 def test_auto_forward_is_bit_identical_to_reversible():
     """Plain and reversible run the same op sequence forward — resolution
     must not change outputs, only the backward's memory scheme."""
