@@ -45,6 +45,21 @@ def _self_attention(kind: str, params, x, mask, causal, cfg: ReformerStackConfig
     if kind == "full":
         from rtts.ops.flash_attention import resolve_flash_impl
 
+        if cfg.seq_parallel_axis and x.shape[1] > a.chunk_length:
+            if drop_rng is not None:
+                raise NotImplementedError(
+                    "attention_dropout > 0 is not supported on the "
+                    "sequence-parallel full path; set attention_dropout: 0 "
+                    "or seq_parallel_axis: null")
+            from rtts.parallel.seq_parallel import (
+                full_self_attention_seq_parallel,
+            )
+
+            out = full_self_attention_seq_parallel(
+                params, x, mask=mask, causal=causal, cfg=a,
+                compute_dtype=compute_dtype, axis=cfg.seq_parallel_axis,
+            )
+            return out, None
         out = shared_qk_self_attention(
             params, x, mask=mask, causal=causal,
             num_heads=a.num_heads, compute_dtype=compute_dtype,

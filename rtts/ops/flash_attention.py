@@ -105,11 +105,17 @@ def _pick_block(length: int, preferred: int = 512) -> int:
 
 
 def _apply_masks(s, valid, qi, ki, bq, bk, causal, self_mask,
-                 mask_value, self_mask_value):
-    """Replace-semantics masking on a (bq, bk) f32 score tile."""
+                 mask_value, self_mask_value, q_off):
+    """Replace-semantics masking on a (bq, bk) f32 score tile.
+
+    ``q_off`` shifts query positions to their GLOBAL ids — the
+    sequence-parallel path attends a local query shard against gathered
+    global keys, so causal/self comparisons must use rank*shard + row
+    (rtts/parallel/seq_parallel.py).  0 on the single-device path."""
     s = jnp.where(valid, s, mask_value)
     if causal or self_mask:
-        rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + qi * bq
+        rows = (jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+                + qi * bq + q_off)
         cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + ki * bk
         if causal:
             s = jnp.where(rows >= cols, s, mask_value)
@@ -118,9 +124,10 @@ def _apply_masks(s, valid, qi, ki, bq, bk, causal, self_mask,
     return s
 
 
-def _self_zero(ds, qi, ki, bq, bk):
+def _self_zero(ds, qi, ki, bq, bk, q_off):
     """Zero score-grads on the diagonal (its score is a replaced constant)."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + qi * bq
+    rows = (jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+            + qi * bq + q_off)
     cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + ki * bk
     return jnp.where(rows == cols, 0.0, ds)
 
@@ -137,8 +144,9 @@ def _head_broadcast(t, dh):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, mf_ref, o_ref, *rest, causal, self_mask,
-                sm_scale, mask_value, self_mask_value, n_k, save_lse):
+def _fwd_kernel(q_ref, k_ref, v_ref, mf_ref, qo_ref, o_ref, *rest, causal,
+                self_mask, sm_scale, mask_value, self_mask_value, n_k,
+                save_lse):
     if save_lse:
         lse_ref, m_scr, l_scr, acc_scr = rest
     else:
@@ -148,6 +156,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mf_ref, o_ref, *rest, causal, self_mask,
     ki = pl.program_id(2)
     bq, dh = q_ref.shape[1], q_ref.shape[2]
     bk = k_ref.shape[1]
+    # global-position offset of query row 0 (f32 carrier: exact for ints
+    # < 2^24, and f32 keeps the custom_vjp cotangent plumbing trivial)
+    q_off = qo_ref[0].astype(jnp.int32)
 
     @pl.when(ki == 0)
     def _init():
@@ -163,7 +174,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mf_ref, o_ref, *rest, causal, self_mask,
         if sm_scale != 1.0:
             s = s * sm_scale
         s = _apply_masks(s, mf_ref[0] > 0.5, qi, ki, bq, bk, causal,
-                         self_mask, mask_value, self_mask_value)
+                         self_mask, mask_value, self_mask_value, q_off)
         m_prev = m_scr[...]
         l_prev = l_scr[...]
         m_curr = jnp.max(s, axis=1)[:, None]            # (bq, 1)
@@ -182,7 +193,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mf_ref, o_ref, *rest, causal, self_mask,
         acc_scr[...] += pv * _head_broadcast(l_inv, dh)
 
     if causal:
-        pl.when((qi + 1) * bq - 1 >= ki * bk)(_run)
+        pl.when(q_off + (qi + 1) * bq - 1 >= ki * bk)(_run)
     else:
         _run()
 
@@ -195,8 +206,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mf_ref, o_ref, *rest, causal, self_mask,
                 jnp.where(l_fin == 0.0, 1.0, l_fin))
 
 
-def _fwd_impl(q3, k3, v3, mf, heads, causal, self_mask, sm_scale, mask_value,
-              self_mask_value, bq, bk, interpret, save_lse):
+def _fwd_impl(q3, k3, v3, mf, qo, heads, causal, self_mask, sm_scale,
+              mask_value, self_mask_value, bq, bk, interpret, save_lse):
     bh, l_q, dh = q3.shape
     l_k = k3.shape[1]
     n_k = l_k // bk
@@ -228,6 +239,7 @@ def _fwd_impl(q3, k3, v3, mf, heads, causal, self_mask, sm_scale, mask_value,
             # are (1, bk) == (array dim, 128-multiple) — the (1, bk) 2-D
             # layout trips Mosaic's sublane tiling rule (CLAUDE.md).
             pl.BlockSpec((1, 1, bk), lambda b, qi, ki: (b // heads, 0, ki)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # q_offset scalar
         ],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -237,7 +249,7 @@ def _fwd_impl(q3, k3, v3, mf, heads, causal, self_mask, sm_scale, mask_value,
             vmem_limit_bytes=_COMPILER_PARAMS.vmem_limit_bytes,
         ),
         interpret=interpret,
-    )(q3, k3, v3, mf)
+    )(q3, k3, v3, mf, qo)
     if save_lse:
         return outs[0], outs[1]
     return outs[0], None
@@ -249,7 +261,7 @@ def _fwd_impl(q3, k3, v3, mf, heads, causal, self_mask, sm_scale, mask_value,
 
 
 def _recompute_tile(q_ref, k_ref, mf_ref, lse_ref, qi, ki, causal, self_mask,
-                    sm_scale, mask_value, self_mask_value):
+                    sm_scale, mask_value, self_mask_value, q_off):
     bq = q_ref.shape[1]
     bk = k_ref.shape[1]
     s = jax.lax.dot_general(q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
@@ -257,12 +269,12 @@ def _recompute_tile(q_ref, k_ref, mf_ref, lse_ref, qi, ki, causal, self_mask,
     if sm_scale != 1.0:
         s = s * sm_scale
     s = _apply_masks(s, mf_ref[0] > 0.5, qi, ki, bq, bk, causal, self_mask,
-                     mask_value, self_mask_value)
+                     mask_value, self_mask_value, q_off)
     p = jnp.exp(s - jnp.tile(lse_ref[0], (1, bk // _LANES)))
     return p
 
 
-def _score_grads(p, o_ref, do_ref, v_ref, qi, ki, self_mask, sm_scale):
+def _score_grads(p, o_ref, do_ref, v_ref, qi, ki, self_mask, sm_scale, q_off):
     bq, bk = p.shape
     do = do_ref[0]
     dp = jax.lax.dot_general(do, v_ref[0], (((1,), (1,)), ((), ())),
@@ -271,19 +283,20 @@ def _score_grads(p, o_ref, do_ref, v_ref, qi, ki, self_mask, sm_scale):
                  axis=-1)[:, None]
     ds = p * (dp - di)
     if self_mask:
-        ds = _self_zero(ds, qi, ki, bq, bk)
+        ds = _self_zero(ds, qi, ki, bq, bk, q_off)
     if sm_scale != 1.0:
         ds = ds * sm_scale
     return ds
 
 
-def _dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, mf_ref,
+def _dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, mf_ref, qo_ref,
                 dk_ref, dv_ref, dk_acc, dv_acc, *, causal, self_mask,
                 sm_scale, mask_value, self_mask_value, n_q):
     ki = pl.program_id(1)
     qi = pl.program_id(2)
     bq = q_ref.shape[1]
     bk = k_ref.shape[1]
+    q_off = qo_ref[0].astype(jnp.int32)
 
     @pl.when(qi == 0)
     def _init():
@@ -292,18 +305,20 @@ def _dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, mf_ref,
 
     def _run():
         p = _recompute_tile(q_ref, k_ref, mf_ref, lse_ref, qi, ki, causal,
-                            self_mask, sm_scale, mask_value, self_mask_value)
+                            self_mask, sm_scale, mask_value, self_mask_value,
+                            q_off)
         do = do_ref[0]
         dv_acc[...] += jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        ds = _score_grads(p, o_ref, do_ref, v_ref, qi, ki, self_mask, sm_scale)
+        ds = _score_grads(p, o_ref, do_ref, v_ref, qi, ki, self_mask,
+                          sm_scale, q_off)
         dk_acc[...] += jax.lax.dot_general(
             ds.astype(q_ref.dtype), q_ref[0], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     if causal:
-        pl.when((qi + 1) * bq - 1 >= ki * bk)(_run)
+        pl.when(q_off + (qi + 1) * bq - 1 >= ki * bk)(_run)
     else:
         _run()
 
@@ -313,13 +328,14 @@ def _dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, mf_ref,
         dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
-def _dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, mf_ref,
+def _dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, mf_ref, qo_ref,
                dq_ref, dq_acc, *, causal, self_mask, sm_scale, mask_value,
                self_mask_value, n_k):
     qi = pl.program_id(1)
     ki = pl.program_id(2)
     bq = q_ref.shape[1]
     bk = k_ref.shape[1]
+    q_off = qo_ref[0].astype(jnp.int32)
 
     @pl.when(ki == 0)
     def _init():
@@ -327,14 +343,16 @@ def _dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, mf_ref,
 
     def _run():
         p = _recompute_tile(q_ref, k_ref, mf_ref, lse_ref, qi, ki, causal,
-                            self_mask, sm_scale, mask_value, self_mask_value)
-        ds = _score_grads(p, o_ref, do_ref, v_ref, qi, ki, self_mask, sm_scale)
+                            self_mask, sm_scale, mask_value, self_mask_value,
+                            q_off)
+        ds = _score_grads(p, o_ref, do_ref, v_ref, qi, ki, self_mask,
+                          sm_scale, q_off)
         dq_acc[...] += jax.lax.dot_general(
             ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     if causal:
-        pl.when((qi + 1) * bq - 1 >= ki * bk)(_run)
+        pl.when(q_off + (qi + 1) * bq - 1 >= ki * bk)(_run)
     else:
         _run()
 
@@ -343,7 +361,7 @@ def _dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, mf_ref,
         dq_ref[0] = dq_acc[...].astype(dq_ref.dtype)
 
 
-def _bwd_impl(q3, k3, v3, mf, out, lse, do, heads, causal, self_mask,
+def _bwd_impl(q3, k3, v3, mf, qo, out, lse, do, heads, causal, self_mask,
               sm_scale, mask_value, self_mask_value, bq, bk, interpret):
     bh, l_q, dh = q3.shape
     l_k = k3.shape[1]
@@ -365,6 +383,7 @@ def _bwd_impl(q3, k3, v3, mf, out, lse, do, heads, causal, self_mask,
             pl.BlockSpec((1, bq, _LANES), lambda b, ki, qi: (b, qi, 0)),  # lse
             pl.BlockSpec((1, 1, bk),
                          lambda b, ki, qi: (b // heads, 0, ki)),          # mask
+            pl.BlockSpec(memory_space=pltpu.SMEM),                    # q_off
         ],
         out_specs=[
             pl.BlockSpec((1, bk, dh), lambda b, ki, qi: (b, ki, 0)),
@@ -383,7 +402,7 @@ def _bwd_impl(q3, k3, v3, mf, out, lse, do, heads, causal, self_mask,
             vmem_limit_bytes=_COMPILER_PARAMS.vmem_limit_bytes,
         ),
         interpret=interpret,
-    )(q3, k3, v3, out, do, lse, mf)
+    )(q3, k3, v3, out, do, lse, mf, qo)
 
     (dq,) = pl.pallas_call(
         functools.partial(_dq_kernel, n_k=n_k, **common),
@@ -397,6 +416,7 @@ def _bwd_impl(q3, k3, v3, mf, out, lse, do, heads, causal, self_mask,
             pl.BlockSpec((1, bq, _LANES), lambda b, qi, ki: (b, qi, 0)),  # lse
             pl.BlockSpec((1, 1, bk),
                          lambda b, qi, ki: (b // heads, 0, ki)),          # mask
+            pl.BlockSpec(memory_space=pltpu.SMEM),                    # q_off
         ],
         out_specs=[pl.BlockSpec((1, bq, dh), lambda b, qi, ki: (b, qi, 0))],
         out_shape=[jax.ShapeDtypeStruct(q3.shape, q3.dtype)],
@@ -406,7 +426,7 @@ def _bwd_impl(q3, k3, v3, mf, out, lse, do, heads, causal, self_mask,
             vmem_limit_bytes=_COMPILER_PARAMS.vmem_limit_bytes,
         ),
         interpret=interpret,
-    )(q3, k3, v3, out, do, lse, mf)
+    )(q3, k3, v3, out, do, lse, mf, qo)
 
     return dq, dk, dv
 
@@ -416,30 +436,31 @@ def _bwd_impl(q3, k3, v3, mf, out, lse, do, heads, causal, self_mask,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12))
-def _flash(q3, k3, v3, mf, heads, causal, self_mask, sm_scale, mask_value,
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13))
+def _flash(q3, k3, v3, mf, qo, heads, causal, self_mask, sm_scale, mask_value,
            self_mask_value, bq, bk, interpret):
-    out, _ = _fwd_impl(q3, k3, v3, mf, heads, causal, self_mask, sm_scale,
+    out, _ = _fwd_impl(q3, k3, v3, mf, qo, heads, causal, self_mask, sm_scale,
                        mask_value, self_mask_value, bq, bk, interpret,
                        save_lse=False)
     return out
 
 
-def _flash_fwd(q3, k3, v3, mf, heads, causal, self_mask, sm_scale, mask_value,
-               self_mask_value, bq, bk, interpret):
-    out, lse = _fwd_impl(q3, k3, v3, mf, heads, causal, self_mask, sm_scale,
-                         mask_value, self_mask_value, bq, bk, interpret,
-                         save_lse=True)
-    return out, (q3, k3, v3, mf, out, lse)
+def _flash_fwd(q3, k3, v3, mf, qo, heads, causal, self_mask, sm_scale,
+               mask_value, self_mask_value, bq, bk, interpret):
+    out, lse = _fwd_impl(q3, k3, v3, mf, qo, heads, causal, self_mask,
+                         sm_scale, mask_value, self_mask_value, bq, bk,
+                         interpret, save_lse=True)
+    return out, (q3, k3, v3, mf, qo, out, lse)
 
 
 def _flash_bwd(heads, causal, self_mask, sm_scale, mask_value,
                self_mask_value, bq, bk, interpret, res, do):
-    q3, k3, v3, mf, out, lse = res
-    dq, dk, dv = _bwd_impl(q3, k3, v3, mf, out, lse, do, heads, causal,
+    q3, k3, v3, mf, qo, out, lse = res
+    dq, dk, dv = _bwd_impl(q3, k3, v3, mf, qo, out, lse, do, heads, causal,
                            self_mask, sm_scale, mask_value, self_mask_value,
                            bq, bk, interpret)
-    return dq, dk, dv, jnp.zeros_like(mf)
+    return dq, dk, dv, jnp.zeros_like(mf), jnp.zeros_like(qo)
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -459,8 +480,15 @@ def flash_attend(
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
+    q_offset=0,
 ) -> jnp.ndarray:
     """Masked softmax attention without materializing the L^2 score tensor.
+
+    ``q_offset`` (int or traced int scalar) is the GLOBAL position of query
+    row 0: causal/self comparisons run on ``q_offset + row`` vs the key's
+    global index.  The sequence-parallel full path passes ``rank * shard``
+    so each device's query shard masks correctly against the gathered keys
+    (rtts/parallel/seq_parallel.py); 0 elsewhere.
 
     Numerically equivalent (refusion-class f32 reduction differences) to
     `full_attention` / the score part of `shared_qk_self_attention` in
@@ -489,7 +517,7 @@ def flash_attend(
             q, k, v, kv_mask, causal=causal, self_mask=self_mask,
             sm_scale=sm_scale, mask_value=mask_value,
             self_mask_value=self_mask_value, block_q=block_q,
-            block_k=block_k, interpret=interpret)
+            block_k=block_k, interpret=interpret, q_offset=q_offset)
         return out[:, :, :l_q]
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
@@ -502,7 +530,8 @@ def flash_attend(
         mf = jnp.ones((b, 1, l_k), jnp.float32)
     else:
         mf = kv_mask.astype(jnp.float32).reshape(b, 1, l_k)
-    out = _flash(q3, k3, v3, mf, h, bool(causal), bool(self_mask),
+    qo = jnp.asarray(q_offset, jnp.float32).reshape(1)
+    out = _flash(q3, k3, v3, mf, qo, h, bool(causal), bool(self_mask),
                  float(sm_scale), float(mask_value), float(self_mask_value),
                  bq, bk, bool(interpret))
     return out.reshape(b, h, l_q, dh)

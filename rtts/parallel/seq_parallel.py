@@ -1,6 +1,8 @@
-"""Sequence-parallel LSH attention over a mesh axis (SURVEY.md §3.4 /
+"""Sequence-parallel self-attention over a mesh axis (SURVEY.md §3.4 /
 §6.7 optional extension: "shard the sequence axis with shard_map,
-all-gather buckets per hash round").
+all-gather buckets per hash round").  Covers BOTH stack kinds: LSH
+(bucketed, below) and full softmax (``full_self_attention_seq_parallel``
+— q shards vs all-gathered keys through the flash kernel's q_offset).
 
 The reference scales sequence length algorithmically on one device; this
 module adds the distributed option for sequences beyond one chip's compute:
@@ -216,6 +218,90 @@ def lsh_attention_seq_parallel(
         check_vma=False,
     )
     return fn(qk, v, mask)
+
+
+def full_self_attention_seq_parallel(
+    params,
+    x: jnp.ndarray,               # (B, L, D)
+    mask: Optional[jnp.ndarray],  # (B, L) bool
+    causal: bool,
+    cfg: AttentionConfig,
+    compute_dtype=None,
+    mesh: Optional[Mesh] = None,
+    axis: str = "model",
+) -> jnp.ndarray:
+    """Sequence-parallel shared-QK FULL attention: drop-in for
+    ``shared_qk_self_attention`` when the stack's ``seq_parallel_axis`` is
+    set and the resolved kind is "full" (SURVEY.md §3.4 applied to the
+    full-softmax path the flash kernel made competitive at long lengths —
+    BENCH.md r3 "Flash attention").
+
+    Queries stay sharded over ``axis``; keys/values are all-gathered
+    (O(L*d) — cheap next to the O(L^2/n) scores each device computes).
+    Each device attends its L/n query shard against the global keys with
+    its ``rank * shard`` position offset, so causal/self masking is
+    identical to the single-device sublayer: with the flash kernel the
+    q-block decomposition is the same one the single-device call uses,
+    making outputs bit-identical, and the naive fallback matches to f32
+    reduction tolerance.  Attention FLOPs and the O(shard * L) score
+    transient both split n ways."""
+    if mesh is None:
+        from rtts.parallel.mesh import current_mesh
+
+        mesh = current_mesh()
+    if mesh is None or axis not in mesh.shape:
+        raise ValueError(
+            f"seq-parallel attention needs a Mesh with axis {axis!r}; "
+            f"enter one (`with mesh:`) or pass mesh= explicitly")
+    n_dev = mesh.shape[axis]
+    b, l, _ = x.shape
+    if l % n_dev:
+        raise ValueError(f"sequence length {l} must divide over {n_dev} "
+                         f"devices on axis {axis!r}")
+    from rtts.ops.flash_attention import resolve_flash_impl
+
+    impl = resolve_flash_impl(cfg.flash, l // n_dev, l)
+    qk = _split_heads(dense(params["w_qk"], x, compute_dtype), cfg.num_heads)
+    v = _split_heads(dense(params["w_v"], x, compute_dtype), cfg.num_heads)
+    d = qk.shape[-1]
+    shard = l // n_dev
+
+    def local_fn(qk_l, v_l, mask_l):
+        rank = jax.lax.axis_index(axis)
+        # per-row ops commute with the shard: normalize locally, gather once
+        k_g = jax.lax.all_gather(_len_norm(qk_l) * (d ** -0.5), axis,
+                                 axis=2, tiled=True)
+        v_g = jax.lax.all_gather(v_l, axis, axis=2, tiled=True)
+        mask_g = jax.lax.all_gather(mask_l, axis, axis=1, tiled=True)
+        q_off = rank * shard
+        if impl == "flash":
+            from rtts.ops.flash_attention import flash_attend
+
+            return flash_attend(qk_l, k_g, v_g, kv_mask=mask_g,
+                                causal=causal, self_mask=True, sm_scale=1.0,
+                                q_offset=q_off)
+        from rtts.attention.full import shared_qk_scores_mask
+
+        scores = jnp.einsum("bhqd,bhkd->bhqk", qk_l, k_g).astype(jnp.float32)
+        q_pos = q_off + jnp.arange(shard)
+        k_pos = jnp.arange(l)
+        scores = shared_qk_scores_mask(
+            scores, q_pos[None, None, :], k_pos[None, None, :],
+            mask_g[:, None, :], causal)
+        probs = jax.nn.softmax(scores, axis=-1)
+        return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v_g.dtype), v_g)
+
+    if mask is None:
+        mask = jnp.ones((b, l), bool)
+    fn = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(None, None, axis, None), P(None, None, axis, None),
+                  P(None, axis)),
+        out_specs=P(None, None, axis, None),
+        check_vma=False,
+    )
+    out = fn(qk, v, mask)
+    return dense(params["w_o"], _merge_heads(out), compute_dtype)
 
 
 def lsh_self_attention_seq_parallel(

@@ -143,3 +143,88 @@ def test_seq_parallel_under_jit():
                                 buckets=buckets)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("flash", [False, True])
+def test_full_seq_parallel_matches_single_device(causal, flash):
+    """Sequence-parallel FULL attention (q shards vs all-gathered keys,
+    causal/self masks on global positions via the flash kernel's q_offset)
+    must reproduce the single-device shared-QK sublayer."""
+    from rtts.attention.full import attention_init, shared_qk_self_attention
+    from rtts.parallel.seq_parallel import full_self_attention_seq_parallel
+
+    n_dev = 4
+    mesh = make_mesh(MeshConfig(data_parallel=1, model_parallel=n_dev))
+    b, l, dm, h = 2, 256, 32, 2
+    cfg = AttentionConfig(kind="full", num_heads=h, head_dim=16,
+                          chunk_length=16, flash=flash)
+    params = attention_init(jax.random.PRNGKey(0), dm, h, 16, shared_qk=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, l, dm))
+    mask = jnp.arange(l)[None, :] < jnp.asarray([l, l - 40])[:, None]
+
+    ref = shared_qk_self_attention(params, x, mask=mask, causal=causal,
+                                   num_heads=h,
+                                   impl="flash" if flash else "naive")
+    with mesh:
+        out = jax.jit(lambda p, xx, mm: full_self_attention_seq_parallel(
+            p, xx, mm, causal, cfg))(params, x, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_stack_full_seq_parallel_grads_match():
+    """kind=full + seq_parallel_axis routes through the sharded sublayer
+    inside the reversible stack; loss and param grads must match the
+    single-device stack."""
+    import dataclasses
+
+    from rtts.config import ReformerStackConfig
+    from rtts.models.stack import stack_apply, stack_init
+
+    n_dev = 8
+    mesh = make_mesh(MeshConfig(data_parallel=1, model_parallel=n_dev))
+    acfg = AttentionConfig(kind="full", num_heads=2, head_dim=16,
+                           chunk_length=16, flash=False)
+    base = ReformerStackConfig(num_layers=2, d_model=32, d_ff=64,
+                               dropout=0.0, reversible=True, causal=True,
+                               attention=acfg, use_pallas_ffn=False)
+    sp = dataclasses.replace(base, seq_parallel_axis="model")
+    key = jax.random.PRNGKey(4)
+    params = stack_init(key, base, cross_attend=False)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (2, 128, 32))
+    mask = jnp.ones((2, 128), bool)
+
+    def loss(p, cfg):
+        y = stack_apply(p, cfg, x, mask, rng=jax.random.PRNGKey(5),
+                        deterministic=True)
+        return (y ** 2).mean()
+
+    l_ref, g_ref = jax.value_and_grad(lambda p: loss(p, base))(params)
+    with mesh:
+        l_sp, g_sp = jax.jit(
+            jax.value_and_grad(lambda p: loss(p, sp)))(params)
+    np.testing.assert_allclose(float(l_sp), float(l_ref), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_sp), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=3e-5)
+
+
+def test_full_seq_parallel_rejects_attention_dropout():
+    import dataclasses
+
+    from rtts.config import ReformerStackConfig
+    from rtts.models.stack import stack_apply, stack_init
+
+    mesh = make_mesh(MeshConfig(data_parallel=1, model_parallel=8))
+    acfg = AttentionConfig(kind="full", num_heads=2, head_dim=16,
+                           chunk_length=16, attention_dropout=0.1)
+    sp = ReformerStackConfig(num_layers=1, d_model=32, d_ff=64,
+                             dropout=0.0, reversible=False, causal=True,
+                             attention=acfg, seq_parallel_axis="model")
+    params = stack_init(jax.random.PRNGKey(0), sp, cross_attend=False)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 128, 32))
+    with mesh:
+        with pytest.raises(NotImplementedError, match="seq"):
+            stack_apply(params, sp, x, jnp.ones((1, 128), bool),
+                        rng=jax.random.PRNGKey(2), deterministic=False)
