@@ -70,11 +70,19 @@ def _device_peak_flops() -> Optional[float]:
 
 def _compiled_flops(fn, *args) -> Optional[float]:
     """Exact FLOPs of the compiled computation via XLA cost analysis
-    (verified exact for matmuls on the axon TPU). None when unavailable."""
+    (verified exact for matmuls on the axon TPU), PLUS the analytic FLOPs
+    of any flash-attention custom calls traced along the way — XLA cannot
+    see inside a Mosaic kernel, so without the tracker MFU would drop
+    exactly when the flash path engages. ``fn`` is unwrapped through
+    ``__wrapped__`` so an already-jitted step retraces (a cached trace
+    skips the Python that feeds the tracker). None when unavailable."""
     try:
-        ca = jax.jit(fn).lower(*args).compile().cost_analysis()
+        from rtts.ops.flash_attention import track_flops
+        inner = getattr(fn, "__wrapped__", fn)
+        with track_flops() as tracked:
+            ca = jax.jit(inner).lower(*args).compile().cost_analysis()
         d = ca if isinstance(ca, dict) else ca[0]
-        f = float(d.get("flops", 0.0))
+        f = float(d.get("flops", 0.0)) + tracked.flops
         return f if f > 0 else None
     except Exception:
         return None

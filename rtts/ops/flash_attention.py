@@ -61,6 +61,53 @@ FLASH_AUTO_MIN_LEN = 1024
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 
+# -- trace-time FLOP accounting ------------------------------------------------
+# XLA's cost analysis cannot see inside a Mosaic custom call, so a compiled
+# step that routes attention through this kernel under-reports its FLOPs —
+# and the bench's MFU drops exactly when the fast path engages.  The kernels
+# record their analytic matmul FLOPs into any installed tracker at TRACE time
+# (rtts/bench.py::_compiled_flops lowers the step inside one).  Recording is
+# skipped in interpret mode: there the kernel body runs as ordinary XLA ops
+# that cost analysis already counts.
+
+_FLOP_TRACKERS: list = []
+
+
+class track_flops:
+    """Context manager collecting analytic FLOPs of flash kernels traced
+    (not executed) inside the block, as ``.flops``."""
+
+    def __enter__(self) -> "track_flops":
+        self.flops = 0.0
+        _FLOP_TRACKERS.append(self)
+        return self
+
+    def __exit__(self, *exc) -> None:
+        _FLOP_TRACKERS.remove(self)
+
+
+def _record_flops(f: float) -> None:
+    for t in _FLOP_TRACKERS:
+        t.flops += f
+
+
+def _matmul_flops(bh: int, l_q: int, l_k: int, dh: int, bq: int, bk: int,
+                  causal: bool) -> float:
+    """FLOPs of ONE (l_q x l_k x dh) matmul pass over the EXECUTED tiles.
+
+    Causal grids skip whole (qi, ki) tiles via the block predicate; count
+    the tiles that actually run (q_offset assumed 0 — the bench never
+    measures MFU on the sequence-parallel path, whose per-rank offsets
+    would only shift tiles between ranks, not change the global total)."""
+    n_q, n_k = l_q // bq, l_k // bk
+    if causal:
+        n_exec = sum(min(n_k, ((qi + 1) * bq - 1) // bk + 1)
+                     for qi in range(n_q))
+    else:
+        n_exec = n_q * n_k
+    return 2.0 * bh * n_exec * bq * bk * dh
+
+
 def flash_supported(l_q: int, l_k: int) -> bool:
     """Any positive static lengths work: non-128-multiples are transparently
     padded (masked keys / sliced query rows) inside ``flash_attend``."""
@@ -212,6 +259,9 @@ def _fwd_impl(q3, k3, v3, mf, qo, heads, causal, self_mask, sm_scale,
     l_k = k3.shape[1]
     n_k = l_k // bk
     grid = (bh, l_q // bq, n_k)
+    if not interpret:
+        # QK^T + PV
+        _record_flops(2.0 * _matmul_flops(bh, l_q, l_k, dh, bq, bk, causal))
     kernel = functools.partial(
         _fwd_kernel, causal=causal, self_mask=self_mask, sm_scale=sm_scale,
         mask_value=mask_value, self_mask_value=self_mask_value, n_k=n_k,
@@ -367,6 +417,9 @@ def _bwd_impl(q3, k3, v3, mf, qo, out, lse, do, heads, causal, self_mask,
     l_k = k3.shape[1]
     n_q = l_q // bq
     n_k = l_k // bk
+    if not interpret:
+        # dkv kernel: QK^T recompute, dp, dv, dk; dq kernel: QK^T, dp, dq
+        _record_flops(7.0 * _matmul_flops(bh, l_q, l_k, dh, bq, bk, causal))
 
     common = dict(causal=causal, self_mask=self_mask, sm_scale=sm_scale,
                   mask_value=mask_value, self_mask_value=self_mask_value)
