@@ -76,19 +76,24 @@ class AttentionConfig:
     """Reformer attention knobs (verified surface, SURVEY.md §3.2).
 
     Choosing ``kind`` for TRAINING throughput (measured, BENCH.md
-    "Training attention"): full softmax is 2-4x faster up to ~4k frames
-    on TPU (the MXU makes O(L^2) scores cheap; LSH's sort/gather
-    machinery costs ~linear in num_hashes); LSH wins outright from
-    ~5-6k frames (6.7x at 8k) where full attention's (B,H,L,L) score
-    tensors become pure HBM traffic, and is what makes 8k-frame training
-    fit on one chip together with reversible residuals."""
+    "Training attention" + r3 flash train sweep): flash-backed full
+    softmax is the fastest option at every measured length through 16k
+    frames (2-4x over 4-hash LSH at <=4k, 2.1-3.7x at 8k-16k) AND uses
+    less transient memory than LSH there (the flash backward re-streams
+    tiles instead of storing scores); naive full (attention_dropout > 0
+    or flash: false) collapses past ~4k where its (B,H,L,L) score
+    tensors become pure HBM traffic.  LSH remains the choice beyond the
+    flash-measured range (>16k), for the O(chunk) ring-cache decode at
+    8k+ frames, and for sequence-parallel sharding."""
 
     # "full" | "lsh" | "local" | "auto".  "auto" resolves per apply by
-    # sequence length: full softmax at L <= auto_full_max_len, LSH above —
-    # encoding the measured v5e crossover (BENCH.md length sweep: full is
-    # 1.9-4.1x faster up to 4k frames; LSH 6.7x faster at 8k).  Resolution
-    # is static (shapes are static under jit), so each bucketed length
-    # compiles its best kernel; decode resolves at max_frames.
+    # sequence length: full softmax at L <= the auto-full limit, LSH above
+    # — encoding the measured v5e crossovers (BENCH.md: with the flash
+    # kernel, full is 2.1-3.7x faster than 4-hash LSH through 16k frames;
+    # without it, naive full's (B,H,L,L) scores collapse past 4k while
+    # LSH is 6.7x faster at 8k).  Resolution is static (shapes are static
+    # under jit), so each bucketed length compiles its best kernel; decode
+    # resolves at max_frames.
     kind: str = "lsh"
     num_heads: int = 8
     head_dim: int = 64
@@ -102,10 +107,16 @@ class AttentionConfig:
     num_chunks_after: int = 0
     hash_seed: Optional[int] = None   # fixed seed => deterministic LSH (tests)
     # kind="auto" crossover: longest sequence that still uses full softmax.
-    # 4096 is the measured v5e boundary (full 1.9x faster at 4k, LSH 6.7x
-    # at 8k — BENCH.md "Training attention"); lower it on memory-tight
-    # configs (full attention's transient (B,H,L,L) f32 scores).
-    auto_full_max_len: int = 4096
+    # None => measured default, resolved purely from this config (so the
+    # same config + length picks the same kind on every backend): 16384
+    # when the flash kernel can own the full path (flash enabled and
+    # attention_dropout == 0 — BENCH.md r3 flash train sweep: flash full
+    # beats 4-hash LSH 2.1-3.7x at 8k-16k and its transient memory is
+    # BELOW LSH's), else 4096, the naive-full boundary (full 1.9x faster
+    # at 4k, LSH 6.7x at 8k — BENCH.md "Training attention"; naive full's
+    # transient (B,H,L,L) f32 scores collapse beyond that).  Set an int
+    # to pin the boundary on memory-tight or unmeasured configs.
+    auto_full_max_len: Optional[int] = None
     # how the bucket sort permutes q/k/v rows (BENCH.md r3 "LSH gather"):
     # "onehot" realizes the permutation as an MXU matmul against an
     # iota-compare one-hot — 2.3x faster forward than take_along_axis on
@@ -351,16 +362,44 @@ class Config:
     experiment: ExperimentConfig = field(default_factory=ExperimentConfig)
 
 
+# kind="auto" boundaries, measured on v5e (BENCH.md).  Flash-backed full
+# attention beats 4-hash LSH at every measured length through 16k (2.6x at
+# 16k, where LSH throughput is flat ~25k f/s and flash full still does
+# 53-64k); extrapolating flash's per-frame cost doubling per length
+# doubling puts the true crossover near 32k, but 16384 is the longest
+# MEASURED win.  Naive full (no flash: dropout live or flash: false)
+# collapses between 4k and 8k on (B,H,L,L) f32 score traffic.
+AUTO_FULL_MAX_LEN_FLASH = 16384
+AUTO_FULL_MAX_LEN_NAIVE = 4096
+
+
+def auto_full_limit(a: "AttentionConfig") -> int:
+    """The longest sequence kind="auto" resolves to full softmax.
+
+    A pure function of the config — deliberately independent of the
+    runtime platform, so a checkpoint's attention semantics never change
+    between TPU training and CPU tests/eval.  Flash "capability" here
+    means the config permits the kernel (flash not false, no
+    attention-probs dropout); off-TPU the full path simply runs naive
+    (or interpret mode) at the same semantics."""
+    if a.auto_full_max_len is not None:
+        return a.auto_full_max_len
+    flash_capable = a.flash not in (False, None) and a.attention_dropout == 0.0
+    return AUTO_FULL_MAX_LEN_FLASH if flash_capable else AUTO_FULL_MAX_LEN_NAIVE
+
+
 def resolve_attention_kind(a: "AttentionConfig", seq_len: int) -> str:
     """Resolve kind="auto" for a given (static) sequence length.
 
-    The rule encodes the measured training crossover (BENCH.md): the MXU
-    makes O(L^2) full-softmax scores cheaper than LSH's sort/gather
-    machinery up to ~4k positions on v5e; past that the (B,H,L,L) score
-    traffic collapses and LSH's O(L log L) wins outright."""
+    The rule encodes the measured training crossovers (BENCH.md): with
+    the flash kernel the MXU makes O(L^2) full-softmax scores cheaper
+    than LSH's sort/gather machinery through 16k positions on v5e;
+    without it (dropout live / flash: false) naive full wins only to ~4k,
+    past which its (B,H,L,L) score traffic collapses and LSH's
+    O(L log L) wins outright."""
     if a.kind != "auto":
         return a.kind
-    return "full" if seq_len <= a.auto_full_max_len else "lsh"
+    return "full" if seq_len <= auto_full_limit(a) else "lsh"
 
 
 def _plain_transient_mb(cfg: "ReformerStackConfig", batch: int, seq_len: int,
