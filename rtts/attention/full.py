@@ -48,6 +48,17 @@ def attention_init(key, d_model: int, num_heads: int, head_dim: int,
     return p
 
 
+def _flash_dropout(dropout_rate: float, dropout_rng):
+    """(rate, seed) for flash_attend: in-kernel counter-hash dropout when a
+    key is live (a different — equally valid — sample than the naive path's
+    bernoulli draw), identity otherwise."""
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        from rtts.ops.flash_attention import dropout_seed_from_key
+
+        return dropout_rate, dropout_seed_from_key(dropout_rng)
+    return 0.0, None
+
+
 def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     b, l, d = x.shape
     return x.reshape(b, l, num_heads, d // num_heads).transpose(0, 2, 1, 3)
@@ -75,8 +86,8 @@ def full_attention(
     ``dropout_rate`` > 0 (with a key) applies attention-probs dropout — the
     reference lineage's attention regularizer (SURVEY.md §3.2 config row).
     ``impl="flash"`` routes through the Pallas online-softmax kernel (no
-    L^2 score tensor in HBM; rtts/ops/flash_attention.py) — callers resolve
-    the knob via ``resolve_flash_impl`` so dropout/shape gating is uniform.
+    L^2 score tensor in HBM; rtts/ops/flash_attention.py), where dropout
+    runs in-kernel from a counter-based hash seeded off the same key.
     """
     d = q.shape[-1]
     if scale is None:
@@ -84,8 +95,10 @@ def full_attention(
     if impl == "flash":
         from rtts.ops.flash_attention import flash_attend
 
+        rate, seed = _flash_dropout(dropout_rate, dropout_rng)
         return flash_attend(q, k, v, kv_mask=kv_mask, causal=causal,
-                            self_mask=False, sm_scale=scale)
+                            self_mask=False, sm_scale=scale,
+                            dropout_rate=rate, dropout_seed=seed)
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
     if kv_mask is not None:
         logits = jnp.where(kv_mask[:, None, None, :], logits, MASK_VALUE)
@@ -186,8 +199,10 @@ def shared_qk_self_attention(
     if impl == "flash":
         from rtts.ops.flash_attention import flash_attend
 
+        rate, seed = _flash_dropout(dropout_rate, dropout_rng)
         out = flash_attend(q, k, v, kv_mask=mask, causal=causal,
-                           self_mask=True, sm_scale=1.0)
+                           self_mask=True, sm_scale=1.0,
+                           dropout_rate=rate, dropout_seed=seed)
         return dense(params["w_o"], _merge_heads(out), compute_dtype)
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
     L = x.shape[1]

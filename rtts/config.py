@@ -80,8 +80,8 @@ class AttentionConfig:
     softmax is the fastest option at every measured length through 16k
     frames (2-4x over 4-hash LSH at <=4k, 2.1-3.7x at 8k-16k) AND uses
     less transient memory than LSH there (the flash backward re-streams
-    tiles instead of storing scores); naive full (attention_dropout > 0
-    or flash: false) collapses past ~4k where its (B,H,L,L) score
+    tiles instead of storing scores); naive full (flash: false) collapses
+    past ~4k where its (B,H,L,L) score
     tensors become pure HBM traffic.  LSH remains the choice beyond the
     flash-measured range (>16k), for the O(chunk) ring-cache decode at
     8k+ frames, and for sequence-parallel sharding."""
@@ -109,13 +109,14 @@ class AttentionConfig:
     # kind="auto" crossover: longest sequence that still uses full softmax.
     # None => measured default, resolved purely from this config (so the
     # same config + length picks the same kind on every backend): 16384
-    # when the flash kernel can own the full path (flash enabled and
-    # attention_dropout == 0 — BENCH.md r3 flash train sweep: flash full
-    # beats 4-hash LSH 2.1-3.7x at 8k-16k and its transient memory is
-    # BELOW LSH's), else 4096, the naive-full boundary (full 1.9x faster
-    # at 4k, LSH 6.7x at 8k — BENCH.md "Training attention"; naive full's
-    # transient (B,H,L,L) f32 scores collapse beyond that).  Set an int
-    # to pin the boundary on memory-tight or unmeasured configs.
+    # when the flash kernel can own the full path (flash not disabled —
+    # BENCH.md r3 flash train sweep: flash full beats 4-hash LSH 2.1-3.7x
+    # at 8k-16k and its transient memory is BELOW LSH's; attention-probs
+    # dropout runs in-kernel so it does not change this), else 4096, the
+    # naive-full boundary (full 1.9x faster at 4k, LSH 6.7x at 8k —
+    # BENCH.md "Training attention"; naive full's transient (B,H,L,L)
+    # f32 scores collapse beyond that).  Set an int to pin the boundary
+    # on memory-tight or unmeasured configs.
     auto_full_max_len: Optional[int] = None
     # how the bucket sort permutes q/k/v rows (BENCH.md r3 "LSH gather"):
     # "onehot" realizes the permutation as an MXU matmul against an
@@ -130,7 +131,10 @@ class AttentionConfig:
     # applied after the softmax in full/lsh/local self-attention and
     # cross-attention when training (deterministic=False); keys derive from
     # the per-layer aux rng, so the reversible backward replays the exact
-    # mask.  Not supported on the seq-parallel path (explicit error).
+    # mask.  On the flash kernel it runs IN-KERNEL from a counter-based
+    # hash (a different — equally valid — sample than the naive path's
+    # bernoulli draw; rtts/ops/flash_attention.py module docstring).
+    # Not supported on the seq-parallel path (explicit error).
     attention_dropout: float = 0.0
     # mask penalty asymmetry (reference semantics): hard mask vs self-attend
     mask_value: float = -1e9
@@ -148,9 +152,10 @@ class AttentionConfig:
     # true | false | "auto".  Unlike the retired chunk-
     # attend kernel this one CUTS bytes (no (B,H,L,L) score tensor in HBM)
     # instead of restreaming them, so the Pallas half-bandwidth ceiling
-    # does not apply.  "auto" = flash on TPU when no attention dropout is
-    # live and one side is >= 512 positions (non-128-multiple lengths pad
-    # transparently; rtts/ops/flash_attention.py::resolve_flash_impl).
+    # does not apply.  "auto" = flash on TPU when one side is >= 1024
+    # positions (non-128-multiple lengths pad transparently; attention
+    # dropout runs in-kernel;
+    # rtts/ops/flash_attention.py::resolve_flash_impl).
     flash: Union[bool, str] = "auto"
 
 
@@ -367,8 +372,8 @@ class Config:
 # 16k, where LSH throughput is flat ~25k f/s and flash full still does
 # 53-64k); extrapolating flash's per-frame cost doubling per length
 # doubling puts the true crossover near 32k, but 16384 is the longest
-# MEASURED win.  Naive full (no flash: dropout live or flash: false)
-# collapses between 4k and 8k on (B,H,L,L) f32 score traffic.
+# MEASURED win.  Naive full (flash: false) collapses between 4k and 8k
+# on (B,H,L,L) f32 score traffic.
 AUTO_FULL_MAX_LEN_FLASH = 16384
 AUTO_FULL_MAX_LEN_NAIVE = 4096
 
@@ -379,12 +384,12 @@ def auto_full_limit(a: "AttentionConfig") -> int:
     A pure function of the config — deliberately independent of the
     runtime platform, so a checkpoint's attention semantics never change
     between TPU training and CPU tests/eval.  Flash "capability" here
-    means the config permits the kernel (flash not false, no
-    attention-probs dropout); off-TPU the full path simply runs naive
-    (or interpret mode) at the same semantics."""
+    means the config permits the kernel (flash not false; attention-probs
+    dropout runs in-kernel so it does not gate); off-TPU the full path
+    simply runs naive (or interpret mode) at the same semantics."""
     if a.auto_full_max_len is not None:
         return a.auto_full_max_len
-    flash_capable = a.flash not in (False, None) and a.attention_dropout == 0.0
+    flash_capable = a.flash not in (False, None)
     return AUTO_FULL_MAX_LEN_FLASH if flash_capable else AUTO_FULL_MAX_LEN_NAIVE
 
 
@@ -394,9 +399,9 @@ def resolve_attention_kind(a: "AttentionConfig", seq_len: int) -> str:
     The rule encodes the measured training crossovers (BENCH.md): with
     the flash kernel the MXU makes O(L^2) full-softmax scores cheaper
     than LSH's sort/gather machinery through 16k positions on v5e;
-    without it (dropout live / flash: false) naive full wins only to ~4k,
-    past which its (B,H,L,L) score traffic collapses and LSH's
-    O(L log L) wins outright."""
+    without it (flash: false) naive full wins only to ~4k, past which
+    its (B,H,L,L) score traffic collapses and LSH's O(L log L) wins
+    outright."""
     if a.kind != "auto":
         return a.kind
     return "full" if seq_len <= auto_full_limit(a) else "lsh"
@@ -451,11 +456,9 @@ def _plain_transient_mb(cfg: "ReformerStackConfig", batch: int, seq_len: int,
 
 def _flash_engages(a: "AttentionConfig", l_q: int, l_k: int) -> bool:
     """Whether the flash kernel will own the full-softmax path at these
-    static shapes — used by the reversible-auto memory estimate.  Assumes
-    naive whenever attention-probs dropout is configured (training runs
-    with a live dropout rng fall back to naive regardless of the knob)."""
-    if a.attention_dropout > 0.0:
-        return False
+    static shapes — used by the reversible-auto memory estimate.
+    Attention-probs dropout runs in-kernel, so it no longer forces the
+    naive path."""
     try:
         from rtts.ops.flash_attention import resolve_flash_impl
 

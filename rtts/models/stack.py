@@ -64,7 +64,7 @@ def _self_attention(kind: str, params, x, mask, causal, cfg: ReformerStackConfig
             params, x, mask=mask, causal=causal,
             num_heads=a.num_heads, compute_dtype=compute_dtype,
             dropout_rate=a.attention_dropout, dropout_rng=drop_rng,
-            impl=resolve_flash_impl(a.flash, x.shape[1], x.shape[1], drop_rng),
+            impl=resolve_flash_impl(a.flash, x.shape[1], x.shape[1]),
         )
         return out, None
     if kind == "lsh":
@@ -144,8 +144,7 @@ def make_stack_layer_fns(
             params["attn"], h, memory, memory_mask=aux["memory_mask"],
             num_heads=a.num_heads, compute_dtype=compute_dtype,
             dropout_rate=a.attention_dropout, dropout_rng=drop_rng,
-            impl=resolve_flash_impl(a.flash, h.shape[1], memory.shape[1],
-                                    drop_rng),
+            impl=resolve_flash_impl(a.flash, h.shape[1], memory.shape[1]),
         )
         out = dropout(jax.random.fold_in(aux["rng_f"], 1), out, cfg.dropout,
                       deterministic)

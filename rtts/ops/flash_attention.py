@@ -31,8 +31,23 @@ tiles from (q, k, lse) and accumulate dK/dV (grid over kv blocks, q inner)
 and dQ (grid over q blocks, kv inner).  Score gradients are exactly zero at
 masked positions: exp(-1e9 - lse) underflows to 0.0 in f32, and the
 self-mask positions (whose score is the CONSTANT -1e5) are explicitly
-zeroed.  Attention-probs dropout is NOT supported here — the resolver
-falls back to the naive path whenever a dropout rng is live.
+zeroed.
+
+Attention-probs dropout runs IN-KERNEL (so dropout configs keep the flash
+speed and memory profile instead of falling back to naive full): the keep
+decision is a pure counter-based hash of (seed, batch*head, global row,
+global col) — ``_keep_tile`` — regenerated tile-wise in the forward and in
+both backward kernels, so the FA2 recompute and the reversible-layer replay
+see the exact same mask with zero stored bytes.  Inverted-dropout scaling
+(p * keep / keep_prob) applies to the PV accumulation only; the softmax
+statistics (m, l, lse) are those of the UNDROPPED distribution, matching
+the oracle semantics softmax -> dropout -> @V.  The backward is exact for
+the dropped objective: dv uses the dropped probs, and score grads become
+ds = p * (keep/keep_prob * dP - Di) with Di = rowsum(o * do) unchanged
+(o already contains the dropout).  The mask is a different — equally
+valid — sample than the naive path's jax.random.bernoulli draw, so
+flash-vs-naive A/Bs at p > 0 compare distributions, not bits;
+``dropout_keep_mask`` builds the dense mask for exact-oracle tests.
 """
 
 from __future__ import annotations
@@ -108,33 +123,113 @@ def _matmul_flops(bh: int, l_q: int, l_k: int, dh: int, bq: int, bk: int,
     return 2.0 * bh * n_exec * bq * bk * dh
 
 
+# -- in-kernel attention-probs dropout ----------------------------------------
+# Counter-based keep mask: a 32-bit avalanche hash ("lowbias32") of
+# (seed, batch*head, global row, global col) thresholded on its top 24 bits.
+# Pure function of positions => the forward kernel, both backward kernels,
+# and the reversible-layer recompute regenerate the identical mask from the
+# same seed without storing a single mask byte.
+
+_DROP_BITS = 24
+
+
+def _mix32(x: jnp.ndarray) -> jnp.ndarray:
+    """lowbias32 avalanche finalizer (uint32 -> uint32)."""
+    x = x ^ (x >> jnp.uint32(16))
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> jnp.uint32(15))
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> jnp.uint32(16))
+    return x
+
+
+def _keep_tile(seed_u32, bh, rows, cols, drop_thr: int) -> jnp.ndarray:
+    """Keep indicators in {0.0, 1.0} (f32) for broadcastable int32 position
+    grids.  ``drop_thr`` is the static 24-bit keep threshold
+    (round(keep_prob * 2^24)); multiplies wrap mod 2^32 by design."""
+    u = (rows.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B)
+         + cols.astype(jnp.uint32) * jnp.uint32(0xC2B2AE35)
+         + jnp.asarray(bh).astype(jnp.uint32) * jnp.uint32(0x27D4EB2F)
+         + seed_u32)
+    h = _mix32(u)
+    return ((h >> jnp.uint32(32 - _DROP_BITS)).astype(jnp.int32)
+            < drop_thr).astype(jnp.float32)
+
+
+def _drop_threshold(rate: float) -> int:
+    """Static 24-bit keep threshold for a dropout rate (0 => disabled)."""
+    if rate <= 0.0:
+        return 0
+    if rate >= 1.0:
+        raise ValueError(f"dropout_rate must be < 1, got {rate}")
+    return int(round((1.0 - rate) * (1 << _DROP_BITS)))
+
+
+def dropout_keep_mask(seed, n_bh: int, l_q: int, l_k: int, rate: float,
+                      q_offset: int = 0) -> jnp.ndarray:
+    """Dense (n_bh, l_q, l_k) f32 keep mask — the EXACT mask the kernels
+    regenerate tile-wise; the jnp oracle for flash-dropout tests."""
+    thr = _drop_threshold(rate)
+    seed_u32 = _seed_as_u32(jnp.asarray(seed))
+    rows = (jnp.arange(l_q, dtype=jnp.int32) + q_offset)[None, :, None]
+    cols = jnp.arange(l_k, dtype=jnp.int32)[None, None, :]
+    bh = jnp.arange(n_bh, dtype=jnp.int32)[:, None, None]
+    return _keep_tile(seed_u32, bh, rows, cols, thr)
+
+
+def _seed_as_u32(seed) -> jnp.ndarray:
+    s = jnp.asarray(seed)
+    if s.dtype == jnp.uint32:
+        return s
+    if s.dtype == jnp.int32:
+        return jax.lax.bitcast_convert_type(s, jnp.uint32)
+    return s.astype(jnp.uint32)
+
+
+def _seed_to_smem(seed) -> jnp.ndarray:
+    """Pack a uint32 seed into two exact 16-bit halves as (2,) f32 — like
+    the q_offset carrier, f32 keeps the custom_vjp cotangent plumbing
+    trivial (ints would need float0 handling) and 16-bit halves are exact
+    in f32."""
+    s = _seed_as_u32(seed)
+    return jnp.stack([(s >> jnp.uint32(16)).astype(jnp.float32),
+                      (s & jnp.uint32(0xFFFF)).astype(jnp.float32)])
+
+
+def _seed_from_smem(sd_ref) -> jnp.ndarray:
+    hi = sd_ref[0].astype(jnp.uint32)
+    lo = sd_ref[1].astype(jnp.uint32)
+    return (hi << jnp.uint32(16)) | lo
+
+
+def dropout_seed_from_key(key: jax.Array) -> jnp.ndarray:
+    """A uint32 scalar kernel seed from a JAX PRNG key (per-layer keys come
+    from the aux rng plumbing, so layers never share a mask)."""
+    return jax.random.bits(key, (), jnp.uint32)
+
+
 def flash_supported(l_q: int, l_k: int) -> bool:
     """Any positive static lengths work: non-128-multiples are transparently
     padded (masked keys / sliced query rows) inside ``flash_attend``."""
     return l_q >= 1 and l_k >= 1
 
 
-def resolve_flash_impl(knob, l_q: int, l_k: int,
-                       dropout_rng: Optional[jax.Array] = None) -> str:
+def resolve_flash_impl(knob, l_q: int, l_k: int) -> str:
     """Resolve the AttentionConfig.flash knob to 'flash' | 'naive'.
 
-    true   -> flash (raises if attention dropout is live; runs in
-              interpret mode off-TPU — the test path)
+    true   -> flash (runs in interpret mode off-TPU — the test path)
     false  -> naive
-    "auto" -> flash on TPU, no live dropout, and at least
-              FLASH_AUTO_MIN_LEN positions on one side (measured crossover)
+    "auto" -> flash on TPU with at least FLASH_AUTO_MIN_LEN positions on
+              one side (measured crossover)
+
+    Attention-probs dropout no longer forces naive: the kernel applies it
+    in-kernel from a counter-based hash (module docstring).
     """
     if knob in (False, None):
         return "naive"
     if knob is True:
-        if dropout_rng is not None:
-            raise ValueError(
-                "flash: true cannot apply attention-probs dropout; set "
-                "attention_dropout: 0 or flash: auto/false")
         return "flash"
     if knob == "auto":
-        if dropout_rng is not None:
-            return "naive"
         if jax.devices()[0].platform != "tpu":
             return "naive"
         if max(l_q, l_k) < FLASH_AUTO_MIN_LEN:
@@ -191,14 +286,15 @@ def _head_broadcast(t, dh):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, mf_ref, qo_ref, o_ref, *rest, causal,
-                self_mask, sm_scale, mask_value, self_mask_value, n_k,
-                save_lse):
+def _fwd_kernel(q_ref, k_ref, v_ref, mf_ref, qo_ref, sd_ref, o_ref, *rest,
+                causal, self_mask, sm_scale, mask_value, self_mask_value,
+                n_k, save_lse, drop_thr, drop_scale):
     if save_lse:
         lse_ref, m_scr, l_scr, acc_scr = rest
     else:
         (m_scr, l_scr, acc_scr) = rest
         lse_ref = None
+    bh_id = pl.program_id(0)
     qi = pl.program_id(1)
     ki = pl.program_id(2)
     bq, dh = q_ref.shape[1], q_ref.shape[2]
@@ -234,7 +330,17 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mf_ref, qo_ref, o_ref, *rest, causal,
         l_scr[...] = l_next
         l_inv = jnp.where(l_next == 0.0, 1.0, 1.0 / l_next)
         acc_scr[...] *= _head_broadcast(l_corr * l_inv, dh)
-        pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0],
+        p_v = p
+        if drop_thr:
+            # dropout applies to the PV accumulation only: (m, l, lse)
+            # stay those of the undropped softmax (oracle semantics)
+            rows = (jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+                    + qi * bq + q_off)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + ki * bk
+            keep = _keep_tile(_seed_from_smem(sd_ref), bh_id,
+                              rows, cols, drop_thr)
+            p_v = p * (keep * drop_scale)
+        pv = jax.lax.dot_general(p_v.astype(v_ref.dtype), v_ref[0],
                                  (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         acc_scr[...] += pv * _head_broadcast(l_inv, dh)
@@ -253,8 +359,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mf_ref, qo_ref, o_ref, *rest, causal,
                 jnp.where(l_fin == 0.0, 1.0, l_fin))
 
 
-def _fwd_impl(q3, k3, v3, mf, qo, heads, causal, self_mask, sm_scale,
-              mask_value, self_mask_value, bq, bk, interpret, save_lse):
+def _fwd_impl(q3, k3, v3, mf, qo, sd, heads, causal, self_mask, sm_scale,
+              mask_value, self_mask_value, bq, bk, interpret, save_lse,
+              drop_thr, drop_scale):
     bh, l_q, dh = q3.shape
     l_k = k3.shape[1]
     n_k = l_k // bk
@@ -265,7 +372,7 @@ def _fwd_impl(q3, k3, v3, mf, qo, heads, causal, self_mask, sm_scale,
     kernel = functools.partial(
         _fwd_kernel, causal=causal, self_mask=self_mask, sm_scale=sm_scale,
         mask_value=mask_value, self_mask_value=self_mask_value, n_k=n_k,
-        save_lse=save_lse)
+        save_lse=save_lse, drop_thr=drop_thr, drop_scale=drop_scale)
     out_shape = [jax.ShapeDtypeStruct((bh, l_q, dh), q3.dtype)]
     out_specs = [pl.BlockSpec((1, bq, dh), lambda b, qi, ki: (b, qi, 0))]
     scratch = [
@@ -290,6 +397,7 @@ def _fwd_impl(q3, k3, v3, mf, qo, heads, causal, self_mask, sm_scale,
             # layout trips Mosaic's sublane tiling rule (CLAUDE.md).
             pl.BlockSpec((1, 1, bk), lambda b, qi, ki: (b // heads, 0, ki)),
             pl.BlockSpec(memory_space=pltpu.SMEM),   # q_offset scalar
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # dropout seed scalar
         ],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -299,7 +407,7 @@ def _fwd_impl(q3, k3, v3, mf, qo, heads, causal, self_mask, sm_scale,
             vmem_limit_bytes=_COMPILER_PARAMS.vmem_limit_bytes,
         ),
         interpret=interpret,
-    )(q3, k3, v3, mf, qo)
+    )(q3, k3, v3, mf, qo, sd)
     if save_lse:
         return outs[0], outs[1]
     return outs[0], None
@@ -324,11 +432,18 @@ def _recompute_tile(q_ref, k_ref, mf_ref, lse_ref, qi, ki, causal, self_mask,
     return p
 
 
-def _score_grads(p, o_ref, do_ref, v_ref, qi, ki, self_mask, sm_scale, q_off):
+def _score_grads(p, o_ref, do_ref, v_ref, qi, ki, self_mask, sm_scale, q_off,
+                 rscale=None):
+    """``rscale`` (keep/keep_prob tile) folds in-kernel dropout into the
+    softmax backward: with a_ij = p_ij * r_ij the chain rule gives
+    ds = p * (r * dP - Di), and Di = rowsum(o * do) already equals
+    sum_k p_ik r_ik dP_ik because o contains the dropout."""
     bq, bk = p.shape
     do = do_ref[0]
     dp = jax.lax.dot_general(do, v_ref[0], (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
+    if rscale is not None:
+        dp = dp * rscale
     di = jnp.sum(o_ref[0].astype(jnp.float32) * do.astype(jnp.float32),
                  axis=-1)[:, None]
     ds = p * (dp - di)
@@ -339,9 +454,26 @@ def _score_grads(p, o_ref, do_ref, v_ref, qi, ki, self_mask, sm_scale, q_off):
     return ds
 
 
+def _bwd_rscale(sd_ref, bh_id, qi, ki, bq, bk, q_off, drop_thr, drop_scale):
+    """Regenerate the forward's keep/keep_prob tile (None when dropout off).
+
+    ``bh_id`` must be read via pl.program_id at kernel top-level by the
+    caller — program_id is unavailable inside a pl.when body in interpret
+    mode."""
+    if not drop_thr:
+        return None
+    rows = (jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+            + qi * bq + q_off)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + ki * bk
+    keep = _keep_tile(_seed_from_smem(sd_ref), bh_id, rows, cols, drop_thr)
+    return keep * drop_scale
+
+
 def _dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, mf_ref, qo_ref,
-                dk_ref, dv_ref, dk_acc, dv_acc, *, causal, self_mask,
-                sm_scale, mask_value, self_mask_value, n_q):
+                sd_ref, dk_ref, dv_ref, dk_acc, dv_acc, *, causal, self_mask,
+                sm_scale, mask_value, self_mask_value, n_q, drop_thr,
+                drop_scale):
+    bh_id = pl.program_id(0)
     ki = pl.program_id(1)
     qi = pl.program_id(2)
     bq = q_ref.shape[1]
@@ -357,12 +489,15 @@ def _dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, mf_ref, qo_ref,
         p = _recompute_tile(q_ref, k_ref, mf_ref, lse_ref, qi, ki, causal,
                             self_mask, sm_scale, mask_value, self_mask_value,
                             q_off)
+        rscale = _bwd_rscale(sd_ref, bh_id, qi, ki, bq, bk, q_off, drop_thr,
+                             drop_scale)
         do = do_ref[0]
+        p_v = p if rscale is None else p * rscale
         dv_acc[...] += jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            p_v.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         ds = _score_grads(p, o_ref, do_ref, v_ref, qi, ki, self_mask,
-                          sm_scale, q_off)
+                          sm_scale, q_off, rscale)
         dk_acc[...] += jax.lax.dot_general(
             ds.astype(q_ref.dtype), q_ref[0], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -379,8 +514,9 @@ def _dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, mf_ref, qo_ref,
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, mf_ref, qo_ref,
-               dq_ref, dq_acc, *, causal, self_mask, sm_scale, mask_value,
-               self_mask_value, n_k):
+               sd_ref, dq_ref, dq_acc, *, causal, self_mask, sm_scale,
+               mask_value, self_mask_value, n_k, drop_thr, drop_scale):
+    bh_id = pl.program_id(0)
     qi = pl.program_id(1)
     ki = pl.program_id(2)
     bq = q_ref.shape[1]
@@ -395,8 +531,10 @@ def _dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, mf_ref, qo_ref,
         p = _recompute_tile(q_ref, k_ref, mf_ref, lse_ref, qi, ki, causal,
                             self_mask, sm_scale, mask_value, self_mask_value,
                             q_off)
+        rscale = _bwd_rscale(sd_ref, bh_id, qi, ki, bq, bk, q_off, drop_thr,
+                             drop_scale)
         ds = _score_grads(p, o_ref, do_ref, v_ref, qi, ki, self_mask,
-                          sm_scale, q_off)
+                          sm_scale, q_off, rscale)
         dq_acc[...] += jax.lax.dot_general(
             ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -411,8 +549,9 @@ def _dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, mf_ref, qo_ref,
         dq_ref[0] = dq_acc[...].astype(dq_ref.dtype)
 
 
-def _bwd_impl(q3, k3, v3, mf, qo, out, lse, do, heads, causal, self_mask,
-              sm_scale, mask_value, self_mask_value, bq, bk, interpret):
+def _bwd_impl(q3, k3, v3, mf, qo, sd, out, lse, do, heads, causal, self_mask,
+              sm_scale, mask_value, self_mask_value, bq, bk, interpret,
+              drop_thr, drop_scale):
     bh, l_q, dh = q3.shape
     l_k = k3.shape[1]
     n_q = l_q // bq
@@ -422,7 +561,8 @@ def _bwd_impl(q3, k3, v3, mf, qo, out, lse, do, heads, causal, self_mask,
         _record_flops(7.0 * _matmul_flops(bh, l_q, l_k, dh, bq, bk, causal))
 
     common = dict(causal=causal, self_mask=self_mask, sm_scale=sm_scale,
-                  mask_value=mask_value, self_mask_value=self_mask_value)
+                  mask_value=mask_value, self_mask_value=self_mask_value,
+                  drop_thr=drop_thr, drop_scale=drop_scale)
 
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, n_q=n_q, **common),
@@ -437,6 +577,7 @@ def _bwd_impl(q3, k3, v3, mf, qo, out, lse, do, heads, causal, self_mask,
             pl.BlockSpec((1, 1, bk),
                          lambda b, ki, qi: (b // heads, 0, ki)),          # mask
             pl.BlockSpec(memory_space=pltpu.SMEM),                    # q_off
+            pl.BlockSpec(memory_space=pltpu.SMEM),                    # seed
         ],
         out_specs=[
             pl.BlockSpec((1, bk, dh), lambda b, ki, qi: (b, ki, 0)),
@@ -455,7 +596,7 @@ def _bwd_impl(q3, k3, v3, mf, qo, out, lse, do, heads, causal, self_mask,
             vmem_limit_bytes=_COMPILER_PARAMS.vmem_limit_bytes,
         ),
         interpret=interpret,
-    )(q3, k3, v3, out, do, lse, mf, qo)
+    )(q3, k3, v3, out, do, lse, mf, qo, sd)
 
     (dq,) = pl.pallas_call(
         functools.partial(_dq_kernel, n_k=n_k, **common),
@@ -470,6 +611,7 @@ def _bwd_impl(q3, k3, v3, mf, qo, out, lse, do, heads, causal, self_mask,
             pl.BlockSpec((1, 1, bk),
                          lambda b, qi, ki: (b // heads, 0, ki)),          # mask
             pl.BlockSpec(memory_space=pltpu.SMEM),                    # q_off
+            pl.BlockSpec(memory_space=pltpu.SMEM),                    # seed
         ],
         out_specs=[pl.BlockSpec((1, bq, dh), lambda b, qi, ki: (b, qi, 0))],
         out_shape=[jax.ShapeDtypeStruct(q3.shape, q3.dtype)],
@@ -479,7 +621,7 @@ def _bwd_impl(q3, k3, v3, mf, qo, out, lse, do, heads, causal, self_mask,
             vmem_limit_bytes=_COMPILER_PARAMS.vmem_limit_bytes,
         ),
         interpret=interpret,
-    )(q3, k3, v3, out, do, lse, mf, qo)
+    )(q3, k3, v3, out, do, lse, mf, qo, sd)
 
     return dq, dk, dv
 
@@ -490,30 +632,37 @@ def _bwd_impl(q3, k3, v3, mf, qo, out, lse, do, heads, causal, self_mask,
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13))
-def _flash(q3, k3, v3, mf, qo, heads, causal, self_mask, sm_scale, mask_value,
-           self_mask_value, bq, bk, interpret):
-    out, _ = _fwd_impl(q3, k3, v3, mf, qo, heads, causal, self_mask, sm_scale,
-                       mask_value, self_mask_value, bq, bk, interpret,
-                       save_lse=False)
+                   nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16))
+def _flash(q3, k3, v3, mf, qo, sd, heads, causal, self_mask, sm_scale,
+           mask_value, self_mask_value, bq, bk, interpret, drop_thr,
+           drop_scale):
+    out, _ = _fwd_impl(q3, k3, v3, mf, qo, sd, heads, causal, self_mask,
+                       sm_scale, mask_value, self_mask_value, bq, bk,
+                       interpret, save_lse=False, drop_thr=drop_thr,
+                       drop_scale=drop_scale)
     return out
 
 
-def _flash_fwd(q3, k3, v3, mf, qo, heads, causal, self_mask, sm_scale,
-               mask_value, self_mask_value, bq, bk, interpret):
-    out, lse = _fwd_impl(q3, k3, v3, mf, qo, heads, causal, self_mask,
+def _flash_fwd(q3, k3, v3, mf, qo, sd, heads, causal, self_mask, sm_scale,
+               mask_value, self_mask_value, bq, bk, interpret, drop_thr,
+               drop_scale):
+    out, lse = _fwd_impl(q3, k3, v3, mf, qo, sd, heads, causal, self_mask,
                          sm_scale, mask_value, self_mask_value, bq, bk,
-                         interpret, save_lse=True)
-    return out, (q3, k3, v3, mf, qo, out, lse)
+                         interpret, save_lse=True, drop_thr=drop_thr,
+                         drop_scale=drop_scale)
+    return out, (q3, k3, v3, mf, qo, sd, out, lse)
 
 
 def _flash_bwd(heads, causal, self_mask, sm_scale, mask_value,
-               self_mask_value, bq, bk, interpret, res, do):
-    q3, k3, v3, mf, qo, out, lse = res
-    dq, dk, dv = _bwd_impl(q3, k3, v3, mf, qo, out, lse, do, heads, causal,
-                           self_mask, sm_scale, mask_value, self_mask_value,
-                           bq, bk, interpret)
-    return dq, dk, dv, jnp.zeros_like(mf), jnp.zeros_like(qo)
+               self_mask_value, bq, bk, interpret, drop_thr, drop_scale,
+               res, do):
+    q3, k3, v3, mf, qo, sd, out, lse = res
+    dq, dk, dv = _bwd_impl(q3, k3, v3, mf, qo, sd, out, lse, do, heads,
+                           causal, self_mask, sm_scale, mask_value,
+                           self_mask_value, bq, bk, interpret, drop_thr,
+                           drop_scale)
+    return (dq, dk, dv, jnp.zeros_like(mf), jnp.zeros_like(qo),
+            jnp.zeros_like(sd))
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -534,6 +683,8 @@ def flash_attend(
     block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
     q_offset=0,
+    dropout_rate: float = 0.0,
+    dropout_seed=None,
 ) -> jnp.ndarray:
     """Masked softmax attention without materializing the L^2 score tensor.
 
@@ -542,6 +693,11 @@ def flash_attend(
     global index.  The sequence-parallel full path passes ``rank * shard``
     so each device's query shard masks correctly against the gathered keys
     (rtts/parallel/seq_parallel.py); 0 elsewhere.
+
+    ``dropout_rate`` > 0 (with a ``dropout_seed`` — uint32 scalar, e.g.
+    ``dropout_seed_from_key(rng)``) applies attention-probs dropout
+    in-kernel (module docstring): deterministic in the seed, identical in
+    forward/backward/recompute, zero mask bytes stored.
 
     Numerically equivalent (refusion-class f32 reduction differences) to
     `full_attention` / the score part of `shared_qk_self_attention` in
@@ -570,7 +726,8 @@ def flash_attend(
             q, k, v, kv_mask, causal=causal, self_mask=self_mask,
             sm_scale=sm_scale, mask_value=mask_value,
             self_mask_value=self_mask_value, block_q=block_q,
-            block_k=block_k, interpret=interpret, q_offset=q_offset)
+            block_k=block_k, interpret=interpret, q_offset=q_offset,
+            dropout_rate=dropout_rate, dropout_seed=dropout_seed)
         return out[:, :, :l_q]
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
@@ -584,7 +741,12 @@ def flash_attend(
     else:
         mf = kv_mask.astype(jnp.float32).reshape(b, 1, l_k)
     qo = jnp.asarray(q_offset, jnp.float32).reshape(1)
-    out = _flash(q3, k3, v3, mf, qo, h, bool(causal), bool(self_mask),
+    drop_thr = _drop_threshold(dropout_rate)
+    if drop_thr and dropout_seed is None:
+        raise ValueError("flash_attend: dropout_rate > 0 needs dropout_seed")
+    sd = _seed_to_smem(dropout_seed if drop_thr else 0)
+    drop_scale = 1.0 / (1.0 - dropout_rate) if drop_thr else 1.0
+    out = _flash(q3, k3, v3, mf, qo, sd, h, bool(causal), bool(self_mask),
                  float(sm_scale), float(mask_value), float(self_mask_value),
-                 bq, bk, bool(interpret))
+                 bq, bk, bool(interpret), drop_thr, drop_scale)
     return out.reshape(b, h, l_q, dh)

@@ -167,9 +167,13 @@ def _time_step(step, params, opt_state):
     return min(times), temp_mb, flops, float(loss)
 
 
-def probe_train():
+TRAIN_POINTS = [(8, 1024), (8, 2048), (2, 4096), (2, 8192), (1, 16384),
+                (1, 32768)]
+
+
+def probe_train(points=None):
     base = flagship_bench_config()
-    points = [(8, 1024), (8, 2048), (2, 4096), (2, 8192), (1, 16384)]
+    points = points if points is not None else TRAIN_POINTS
     print("== train step: flagship fwd+bwd+Adam, kind=full naive vs flash "
           "(reversible true), + plain-residual flash, + 8k LSH reference ==")
     for batch, mel_len in points:

@@ -171,11 +171,6 @@ def test_flash_bf16_close(rng):
 def test_resolver_rules():
     assert resolve_flash_impl(False, 1024, 1024) == "naive"
     assert resolve_flash_impl(True, 1024, 1024) == "flash"
-    # dropout live -> naive (auto) / error (forced)
-    key = jax.random.PRNGKey(0)
-    assert resolve_flash_impl("auto", 1024, 1024, dropout_rng=key) == "naive"
-    with pytest.raises(ValueError):
-        resolve_flash_impl(True, 1024, 1024, dropout_rng=key)
     # non-128-multiple shapes are fine (transparent padding)
     assert resolve_flash_impl(True, 1000, 1024) == "flash"
     with pytest.raises(ValueError):
