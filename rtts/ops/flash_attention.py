@@ -143,17 +143,27 @@ def _mix32(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-def _keep_tile(seed_u32, bh, rows, cols, drop_thr: int) -> jnp.ndarray:
+def _i32c(c: int) -> jnp.ndarray:
+    """An int32 constant with the bits of the uint32 ``c`` (two's complement)."""
+    return jnp.int32(c if c < (1 << 31) else c - (1 << 32))
+
+
+def _keep_tile(seed_i32, bh, rows, cols, drop_thr: int) -> jnp.ndarray:
     """Keep indicators in {0.0, 1.0} (f32) for broadcastable int32 position
     grids.  ``drop_thr`` is the static 24-bit keep threshold
-    (round(keep_prob * 2^24)); multiplies wrap mod 2^32 by design."""
-    u = (rows.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B)
-         + cols.astype(jnp.uint32) * jnp.uint32(0xC2B2AE35)
-         + jnp.asarray(bh).astype(jnp.uint32) * jnp.uint32(0x27D4EB2F)
-         + seed_u32)
-    h = _mix32(u)
-    return ((h >> jnp.uint32(32 - _DROP_BITS)).astype(jnp.int32)
-            < drop_thr).astype(jnp.float32)
+    (round(keep_prob * 2^24)); multiplies wrap mod 2^32 by design.
+
+    Mosaic constraints shape this: no i32<->u32 converts and scalar bitcast
+    is unsupported (tpu.bitcast is vector-only), so the position mixing runs
+    in wrapping int32 (bit-identical to uint32 mod 2^32) and only the final
+    VECTOR is bitcast to uint32 for the shift-heavy avalanche."""
+    u_i32 = (rows * _i32c(0x85EBCA6B) + cols * _i32c(0xC2B2AE35)
+             + jnp.asarray(bh, jnp.int32) * _i32c(0x27D4EB2F)
+             + jnp.asarray(seed_i32, jnp.int32))
+    h = _mix32(jax.lax.bitcast_convert_type(u_i32, jnp.uint32))
+    top = jax.lax.bitcast_convert_type(h >> jnp.uint32(32 - _DROP_BITS),
+                                       jnp.int32)  # < 2^24, bits identical
+    return (top < drop_thr).astype(jnp.float32)
 
 
 def _drop_threshold(rate: float) -> int:
@@ -170,11 +180,12 @@ def dropout_keep_mask(seed, n_bh: int, l_q: int, l_k: int, rate: float,
     """Dense (n_bh, l_q, l_k) f32 keep mask — the EXACT mask the kernels
     regenerate tile-wise; the jnp oracle for flash-dropout tests."""
     thr = _drop_threshold(rate)
-    seed_u32 = _seed_as_u32(jnp.asarray(seed))
+    seed_i32 = jax.lax.bitcast_convert_type(_seed_as_u32(jnp.asarray(seed)),
+                                            jnp.int32)
     rows = (jnp.arange(l_q, dtype=jnp.int32) + q_offset)[None, :, None]
     cols = jnp.arange(l_k, dtype=jnp.int32)[None, None, :]
     bh = jnp.arange(n_bh, dtype=jnp.int32)[:, None, None]
-    return _keep_tile(seed_u32, bh, rows, cols, thr)
+    return _keep_tile(seed_i32, bh, rows, cols, thr)
 
 
 def _seed_as_u32(seed) -> jnp.ndarray:
@@ -197,9 +208,14 @@ def _seed_to_smem(seed) -> jnp.ndarray:
 
 
 def _seed_from_smem(sd_ref) -> jnp.ndarray:
-    hi = sd_ref[0].astype(jnp.uint32)
-    lo = sd_ref[1].astype(jnp.uint32)
-    return (hi << jnp.uint32(16)) | lo
+    """Int32 scalar with the seed's bits (f32 halves are exact 16-bit).
+
+    Stays in int32 throughout: Mosaic has no f32->u32 convert and scalar
+    bitcasts are vector-only; ``hi << 16`` wrapping into the sign bit is
+    exactly the uint32 bit pattern ``_keep_tile`` expects."""
+    hi = sd_ref[0].astype(jnp.int32)
+    lo = sd_ref[1].astype(jnp.int32)
+    return hi * jnp.int32(1 << 16) + lo
 
 
 def dropout_seed_from_key(key: jax.Array) -> jnp.ndarray:
