@@ -37,13 +37,15 @@ from rtts.utils.profiling import enable_compilation_cache
 REPEATS = 5
 
 
-def _attn_cfg(cfg, *, kind=None, flash=None, reversible=None):
+def _attn_cfg(cfg, *, kind=None, flash=None, reversible=None, dropout=None):
     def fix_stack(stack):
         a = stack.attention
         if kind is not None:
             a = dataclasses.replace(a, kind=kind)
         if flash is not None:
             a = dataclasses.replace(a, flash=flash)
+        if dropout is not None:
+            a = dataclasses.replace(a, attention_dropout=dropout)
         kw = {"attention": a}
         if reversible is not None:
             kw["reversible"] = reversible
@@ -216,6 +218,27 @@ def probe_train(points=None):
                 del step, p0, s0
 
 
+def probe_dropout():
+    """The BENCH.md attention-probs dropout A/B: in-kernel counter-hash
+    dropout vs the old dropout-forces-naive fallback, on the shipped
+    flagship step (b8 x 1024)."""
+    base = flagship_bench_config()
+    print("== train step: flagship b8 x 1024, attention-probs dropout ==")
+    for name, kw in (
+        ("flash, dropout 0.0", dict(kind="full", flash=True, dropout=0.0)),
+        ("flash, dropout 0.1 (in-kernel)",
+         dict(kind="full", flash=True, dropout=0.1)),
+        ("naive, dropout 0.1 (old fallback)",
+         dict(kind="full", flash=False, dropout=0.1)),
+    ):
+        cfg = _attn_cfg(base, **kw)
+        step, p0, s0 = _make_step(cfg, 8, 256, 1024)
+        dt, temp_mb, flops, loss = _time_step(step, p0, s0)
+        print(f"{name:34s} {dt*1e3:7.1f} ms  {8*1024/dt:9,.0f} f/s  "
+              f"temp {temp_mb:7.0f} MB  loss {loss:.3f}", flush=True)
+        del step, p0, s0
+
+
 if __name__ == "__main__":
     enable_compilation_cache()
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
@@ -226,3 +249,5 @@ if __name__ == "__main__":
         probe_kernel()
     if which in ("train", "all"):
         probe_train()
+    if which in ("dropout", "all"):
+        probe_dropout()

@@ -89,11 +89,13 @@ def test_estimate_is_flash_aware():
     # cross-attention term shrinks too
     assert (_plain_transient_mb(flash, 8, 2048, 2048)
             < _plain_transient_mb(naive, 8, 2048, 2048) / 8)
-    # live attention-probs dropout forces the naive path -> quadratic again
+    # attention-probs dropout runs IN-KERNEL (counter-hash mask, zero
+    # stored bytes) — it no longer forces the naive path, so the flash
+    # estimate must be unchanged by the knob
     dropped = dataclasses.replace(
         flash, attention=dataclasses.replace(flash.attention,
                                              attention_dropout=0.1))
-    assert _plain_transient_mb(dropped, 8, 2048) == n_2k
+    assert _plain_transient_mb(dropped, 8, 2048) == f_2k
 
 
 def test_auto_forward_is_bit_identical_to_reversible():
