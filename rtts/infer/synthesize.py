@@ -74,6 +74,8 @@ class Synthesizer:
         self.vocoder_params = vocoder_params
         self.max_frames = max_frames
         self.mode = mode
+        self.unroll = unroll
+        self.staged = staged
         self._decode_jit = jax.jit(
             functools.partial(self._decode, cfg.model, mode, unroll, staged),
             static_argnames=("max_frames",),
