@@ -4,7 +4,7 @@ option and one verb per pipeline stage, mirroring the reference's surface:
     python -m rtts.cli [-c CONFIG.yaml] [-o key.path=value ...] VERB
 
 Verbs: download, generate-corpus, preprocess, train-tts, train-vocoder,
-predict, serve, bench.
+predict, serve, export, bench.
 """
 
 from __future__ import annotations
@@ -155,6 +155,10 @@ def _load_synthesizer(cfg: Config, tts_ckpt, vocoder_ckpt, max_frames, mode):
               help="text to synthesize (repeatable)")
 @click.option("--tts-ckpt", default=None, help="TTS checkpoint dir")
 @click.option("--vocoder-ckpt", default=None, help="vocoder checkpoint dir")
+@click.option("--from-export", "export_dir", default=None,
+              type=click.Path(exists=True),
+              help="serve from an `rtts export` directory instead of "
+                   "checkpoints (no model code / config needed)")
 @click.option("--out", "out_dir", default="synth_out")
 @click.option("--max-frames", default=1024)
 @click.option("--seed", default=0)
@@ -163,18 +167,58 @@ def _load_synthesizer(cfg: Config, tts_ckpt, vocoder_ckpt, max_frames, mode):
                                  "auto"]),
               help="AR decode cache strategy")
 @click.pass_obj
-def predict(cfg: Config, text, tts_ckpt, vocoder_ckpt, out_dir, max_frames,
-            seed, mode):
+def predict(cfg: Config, text, tts_ckpt, vocoder_ckpt, export_dir, out_dir,
+            max_frames, seed, mode):
     """Text -> wav using trained checkpoints (Griffin-Lim if no vocoder)."""
     from rtts.audio.wav import write_wav
 
-    syn = _load_synthesizer(cfg, tts_ckpt, vocoder_ckpt, max_frames, mode)
+    if export_dir:
+        from rtts.infer.export import ExportedSynthesizer
+
+        syn = ExportedSynthesizer(export_dir)
+        sample_rate = syn.manifest["audio"]["sample_rate"]
+    else:
+        syn = _load_synthesizer(cfg, tts_ckpt, vocoder_ckpt, max_frames, mode)
+        sample_rate = cfg.dataset.audio.sample_rate
     wavs = syn(list(text), seed=seed)
     out = pathlib.Path(out_dir)
     for i, w in enumerate(wavs):
         p = out / f"sample_{i}.wav"
-        write_wav(p, w, cfg.dataset.audio.sample_rate)
+        write_wav(p, w, sample_rate)
         click.echo(f"wrote {p} ({len(w)} samples)")
+
+
+@cli.command("export")
+@click.option("--tts-ckpt", default=None, help="TTS checkpoint dir")
+@click.option("--vocoder-ckpt", default=None, help="vocoder checkpoint dir")
+@click.option("--out", "out_dir", default="export_out")
+@click.option("--max-frames", default=1024)
+@click.option("--batch-sizes", default="1",
+              help="comma-separated batch sizes to export, e.g. 1,8")
+@click.option("--token-len", default=None, type=int,
+              help="static token budget (default: dataset.text.max_len)")
+@click.option("--mode", default="auto",
+              type=click.Choice(["kv_full", "kv_lsh", "kv_lsh_chunk",
+                                 "auto"]),
+              help="AR decode cache strategy baked into the artifact")
+@click.pass_obj
+def export_cmd(cfg: Config, tts_ckpt, vocoder_ckpt, out_dir, max_frames,
+               batch_sizes, token_len, mode):
+    """Serialize the serving graphs to StableHLO deployment artifacts.
+
+    Weights bake into the artifacts; `predict --from-export DIR` (or
+    ``rtts.infer.export.ExportedSynthesizer``) serves from the directory
+    with no checkpoint or model code."""
+    from rtts.infer.export import export_synthesizer
+
+    syn = _load_synthesizer(cfg, tts_ckpt, vocoder_ckpt, max_frames, mode)
+    sizes = tuple(int(b) for b in str(batch_sizes).split(",") if b)
+    manifest = export_synthesizer(syn, out_dir, batch_sizes=sizes,
+                                  token_len=token_len)
+    click.echo(f"wrote {len(manifest['artifacts'])} artifacts + manifest "
+               f"to {out_dir} (batch sizes {manifest['batch_sizes']}, "
+               f"token_len {manifest['token_len']}, "
+               f"max_frames {manifest['max_frames']})")
 
 
 @cli.command()

@@ -106,6 +106,20 @@ def export_synthesizer(
         "audio": {
             "sample_rate": int(cfg.dataset.audio.sample_rate),
             "hop_length": int(cfg.vocoder.hop_length),
+            # STFT/mel frontend params: the Griffin-Lim fallback for
+            # TTS-only exports rebuilds its mel basis from these
+            "stft": {
+                "sample_rate": int(cfg.dataset.audio.sample_rate),
+                "n_fft": int(cfg.dataset.audio.n_fft),
+                "hop_length": int(cfg.dataset.audio.hop_length),
+                "win_length": int(cfg.dataset.audio.win_length),
+                "n_mels": int(cfg.dataset.audio.n_mels),
+                "fmin": float(cfg.dataset.audio.fmin),
+                "fmax": (None if cfg.dataset.audio.fmax is None
+                         else float(cfg.dataset.audio.fmax)),
+                "log_floor": float(cfg.dataset.audio.log_floor),
+                "center": bool(cfg.dataset.audio.center),
+            },
         },
         "artifacts": {},
     }
@@ -242,13 +256,26 @@ class ExportedSynthesizer:
             lens.append(np.asarray(ln)[:n])
         return np.concatenate(mels), np.concatenate(lens)
 
-    def _vocoder_batch(self) -> int:
-        """Smallest exported vocoder batch size (KeyError when none)."""
+    def _vocoder_batch(self) -> Optional[int]:
+        """Smallest exported vocoder batch size (None when the export is
+        TTS-only — vocode then falls back to Griffin-Lim)."""
         sizes = [b for b in self.batch_sizes
                  if f"vocoder_b{b}" in self.manifest["artifacts"]]
-        if not sizes:
-            raise KeyError("export has no vocoder artifact")
-        return sizes[0]
+        return sizes[0] if sizes else None
+
+    def _griffin_lim(self, mels, lengths) -> List[np.ndarray]:
+        """TTS-only exports: invert mels with the manifest's STFT params
+        (no model code involved — pinv(mel basis) + Griffin-Lim)."""
+        from rtts.audio.griffin import mel_to_audio as gl_mel_to_audio
+        from rtts.config import AudioConfig
+
+        acfg = AudioConfig(**self.manifest["audio"]["stft"])
+        out = []
+        with jax.default_device(jax.devices("cpu")[0]):
+            for m, ln in zip(mels, lengths):
+                m = np.asarray(m, np.float32)[: int(ln)]
+                out.append(np.asarray(gl_mel_to_audio(jnp.asarray(m), acfg)))
+        return out
 
     def vocode(self, mels: Sequence[np.ndarray],
                lengths: Optional[Sequence[int]] = None) -> List[np.ndarray]:
@@ -261,10 +288,12 @@ class ExportedSynthesizer:
         noise z comes from the artifact's baked PRNGKey(0), so a given
         (artifact batch size, row position) is deterministic."""
         b = self._vocoder_batch()
-        frames = self.manifest["max_frames"]
-        hop = self.manifest["audio"]["hop_length"]
         if lengths is None:
             lengths = [m.shape[0] for m in mels]
+        if b is None:
+            return self._griffin_lim(mels, lengths)
+        frames = self.manifest["max_frames"]
+        hop = self.manifest["audio"]["hop_length"]
         rows = []
         for m, ln in zip(mels, lengths):
             m = np.asarray(m, np.float32)[: int(ln)]
