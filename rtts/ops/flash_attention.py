@@ -254,8 +254,17 @@ def resolve_flash_impl(knob, l_q: int, l_k: int) -> str:
     raise ValueError(f"flash knob must be true, false or 'auto', got {knob!r}")
 
 
-def _pick_block(length: int, preferred: int = 512) -> int:
-    for cand in (preferred, 256, 128):
+def _pick_block(length: int, preferred: int = 1024) -> int:
+    """Largest block from the preferred chain that divides ``length``.
+
+    1024x1024 tiles measured fastest at every swept length (BENCH.md r3
+    "flash block-size sweep": 1.08x/1.10x/1.23x/1.19x over the earlier
+    512x512 default at L=1k/2k/4k/8k fwd+bwd; 2048 tiles were within ~2%
+    at 8k but no better below) — bigger tiles amortize the per-grid-step
+    overhead on the single-core v5e and keep the MXU fed; the (bq, bk)
+    f32 score tile at 1024^2 is 4 MB, comfortably inside the 64 MB VMEM
+    budget alongside the streamed operand tiles."""
+    for cand in (preferred, 512, 256, 128):
         if cand <= length and length % cand == 0:
             return cand
     # flash_supported guarantees length % 128 == 0

@@ -218,6 +218,53 @@ def probe_train(points=None):
                 del step, p0, s0
 
 
+def probe_blocks():
+    """Sweep flash (block_q, block_k) at flagship widths: the kernel defaults
+    to 512x512 via _pick_block; this measures whether another tile shape is
+    faster at the shapes the train step actually runs."""
+    from rtts.ops.flash_attention import flash_attend
+
+    print("== flash block-size sweep (h8 d512 bf16 causal+self, "
+          "fwd+bwd) ==")
+    for L in (1024, 2048, 4096, 8192):
+        B = 8 if L <= 4096 else 2
+        q = jax.random.normal(jax.random.PRNGKey(1), (B, 8, L, 64),
+                              jnp.bfloat16)
+        v = jax.random.normal(jax.random.PRNGKey(2), (B, 8, L, 64),
+                              jnp.bfloat16)
+        iters = max(4, 4096 // L * 4)
+        results = []
+        for bq in (256, 512, 1024, 2048):
+            for bk in (256, 512, 1024, 2048):
+                if bq > L or bk > L:
+                    continue
+
+                def f(q, v):
+                    def loss(qq):
+                        return jnp.sum(flash_attend(
+                            qq, qq, v, causal=True, self_mask=True,
+                            sm_scale=0.125, block_q=bq, block_k=bk
+                        ).astype(jnp.float32))
+                    return jax.grad(loss)(q)
+
+                try:
+                    dt = _time_loop(f, q, (v,), iters=iters, repeats=REPEATS)
+                except Exception as e:
+                    print(f"L={L} bq={bq} bk={bk} FAILED {type(e).__name__}",
+                          flush=True)
+                    continue
+                results.append((dt, bq, bk))
+                print(f"L={L:5d} B={B}  bq={bq:4d} bk={bk:4d}  "
+                      f"{dt*1e3:7.2f} ms", flush=True)
+        if results:
+            best = min(results)
+            ref = next((r for r in results if r[1] == r[2] == min(512, L)),
+                       best)
+            print(f"L={L:5d}  BEST bq={best[1]} bk={best[2]} "
+                  f"{best[0]*1e3:.2f} ms  (default {ref[0]*1e3:.2f} ms, "
+                  f"{ref[0]/best[0]:.2f}x)", flush=True)
+
+
 def probe_dropout():
     """The BENCH.md attention-probs dropout A/B: in-kernel counter-hash
     dropout vs the old dropout-forces-naive fallback, on the shipped
@@ -251,3 +298,5 @@ if __name__ == "__main__":
         probe_train()
     if which in ("dropout", "all"):
         probe_dropout()
+    if which == "blocks":
+        probe_blocks()
