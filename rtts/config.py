@@ -332,6 +332,11 @@ class CheckpointConfig:
     keep: int = 3
     save_every_steps: int = 1000
     resume: bool = True
+    # overlap the npz write/retention with training on a worker thread
+    # (AsyncCheckpointer): the tree is snapshotted to host before the
+    # train step's donated buffers can overwrite it, and the trainer
+    # flushes before exiting, so resume semantics are identical
+    async_save: bool = True
 
 
 @dataclass(frozen=True)

@@ -17,6 +17,7 @@ from __future__ import annotations
 import json
 import pathlib
 import shutil
+import threading
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -95,6 +96,63 @@ def _retain(base: pathlib.Path, keep: int) -> None:
     for _, _, p in steps:
         if p not in keep_paths and len(keep_paths) < len(steps):
             shutil.rmtree(p, ignore_errors=True)
+
+
+class AsyncCheckpointer:
+    """Overlap checkpoint IO with training (SURVEY.md §6.4, production
+    posture): ``save`` snapshots the tree to HOST memory synchronously —
+    the only part that must see the live device buffers, since the train
+    step donates and overwrites them — then hands the npz write, manifest
+    and retention to a worker thread and returns.  At flagship scale the
+    write is ~0.4 GB; overlapping it hides seconds per save.
+
+    Saves serialize in submission order (a new ``save`` first joins the
+    previous one).  Worker errors re-raise on the NEXT ``save``/``wait``.
+    Call ``wait()`` (or use as a context manager) before reading the
+    directory back — resume, eval-from-latest — or at trainer exit."""
+
+    def __init__(self) -> None:
+        self._thread: Optional[threading.Thread] = None
+        self._err: Optional[BaseException] = None
+
+    def save(self, directory: str | pathlib.Path, tree: Any, step: int,
+             metric: Optional[float] = None, keep: int = 3) -> None:
+        self.wait()
+        host = jax.device_get(tree)   # snapshot before buffers are donated
+
+        def _write() -> None:
+            try:
+                save_checkpoint(directory, host, step, metric=metric,
+                                keep=keep)
+            except BaseException as e:  # surface on next save()/wait()
+                self._err = e
+
+        self._thread = threading.Thread(target=_write, daemon=True,
+                                        name=f"ckpt-save-{step}")
+        self._thread.start()
+
+    def wait(self) -> None:
+        """Block until the in-flight save (if any) lands; re-raise its
+        error."""
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+    def __enter__(self) -> "AsyncCheckpointer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        # don't mask an in-flight exception with a save error
+        if exc == (None, None, None):
+            self.wait()
+        else:
+            try:
+                self.wait()
+            except BaseException:
+                pass
 
 
 def latest_checkpoint(directory: str | pathlib.Path) -> Optional[str]:

@@ -33,6 +33,7 @@ from rtts.models import reformer_tts as M
 from rtts.parallel.mesh import initialize_distributed, make_mesh
 from rtts.parallel.sharding import batch_sharding, replicated
 from rtts.train.checkpoint import (
+    AsyncCheckpointer,
     latest_checkpoint,
     restore_checkpoint,
     save_checkpoint,
@@ -165,6 +166,19 @@ def train_tts(cfg: Config, workdir: str, max_steps: Optional[int] = None,
         is_main = jax.process_index() == 0
         logger = MetricLogger(str(work / exp.logging.jsonl_path),
                               exp.logging.tensorboard_dir) if is_main else None
+        # async saves overlap the npz write with the next train steps;
+        # _save snapshots to host first, so donation can't corrupt them
+        saver = AsyncCheckpointer() if exp.checkpoint.async_save else None
+
+        def _save(step, metric):
+            state = {"params": params, "opt_state": opt_state}
+            if saver is not None:
+                saver.save(ckpt_dir, state, step, metric=metric,
+                           keep=exp.checkpoint.keep)
+            else:
+                save_checkpoint(ckpt_dir, state, step, metric=metric,
+                                keep=exp.checkpoint.keep)
+
         last_metrics: Dict[str, Any] = {}
         t_last = time.time()
         for step in range(step0, max_steps):
@@ -188,18 +202,15 @@ def train_tts(cfg: Config, workdir: str, max_steps: Optional[int] = None,
                                         artifacts=is_main)
                 if is_main:
                     logger.log(step + 1, val_metrics, prefix="val/")
-                    save_checkpoint(
-                        ckpt_dir, {"params": params, "opt_state": opt_state},
-                        step + 1,
-                        metric=float(val_metrics.get("loss", 0.0)),
-                        keep=exp.checkpoint.keep)
+                    _save(step + 1,
+                          metric=float(val_metrics.get("loss", 0.0)))
             elif (step + 1) % exp.checkpoint.save_every_steps == 0:
                 # periodic save between evals (crash-resume granularity,
                 # SURVEY.md §6.4); unranked — top-k ranking stays on val loss
                 if is_main:
-                    save_checkpoint(
-                        ckpt_dir, {"params": params, "opt_state": opt_state},
-                        step + 1, metric=None, keep=exp.checkpoint.keep)
+                    _save(step + 1, metric=None)
+        if saver is not None:
+            saver.wait()   # flush before anyone reads the directory back
         if is_main:
             logger.close()
     return last_metrics

@@ -18,6 +18,7 @@ from rtts.models import squeezewave as SW
 from rtts.parallel.mesh import initialize_distributed, make_mesh
 from rtts.parallel.sharding import replicated
 from rtts.train.checkpoint import (
+    AsyncCheckpointer,
     latest_checkpoint,
     restore_checkpoint,
     save_checkpoint,
@@ -106,6 +107,17 @@ def train_vocoder(cfg: Config, workdir: str, max_steps: Optional[int] = None,
         is_main = jax.process_index() == 0
         logger = MetricLogger(str(work / exp.logging.jsonl_path),
                               exp.logging.tensorboard_dir) if is_main else None
+        saver = AsyncCheckpointer() if exp.checkpoint.async_save else None
+
+        def _save(step, metric):
+            state = {"params": params, "opt_state": opt_state}
+            if saver is not None:
+                saver.save(ckpt_dir, state, step, metric=metric,
+                           keep=exp.checkpoint.keep)
+            else:
+                save_checkpoint(ckpt_dir, state, step, metric=metric,
+                                keep=exp.checkpoint.keep)
+
         last: Dict[str, Any] = {}
         t_last = time.time()
         from rtts.train.train_tts import _shard_batch
@@ -157,17 +169,14 @@ def train_vocoder(cfg: Config, workdir: str, max_steps: Optional[int] = None,
                                   np.clip(wav, -1, 1), voc.sample_rate)
                     except Exception as e:
                         print(f"vocoder eval artifact failed: {e}")
-                    save_checkpoint(
-                        ckpt_dir, {"params": params, "opt_state": opt_state},
-                        step + 1,
-                        metric=float(val_metrics.get("loss_vocoder", 0.0)),
-                        keep=exp.checkpoint.keep)
+                    _save(step + 1,
+                          metric=float(val_metrics.get("loss_vocoder", 0.0)))
             elif (step + 1) % exp.checkpoint.save_every_steps == 0:
                 # periodic save between evals (crash-resume granularity)
                 if is_main:
-                    save_checkpoint(
-                        ckpt_dir, {"params": params, "opt_state": opt_state},
-                        step + 1, metric=None, keep=exp.checkpoint.keep)
+                    _save(step + 1, metric=None)
+        if saver is not None:
+            saver.wait()   # flush before anyone reads the directory back
         if is_main:
             logger.close()
     return last

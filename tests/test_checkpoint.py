@@ -1,5 +1,6 @@
 import pathlib
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -138,3 +139,66 @@ def test_train_resume_is_bit_exact(tmp_path):
     assert set(za.files) == set(zb.files)
     for k in za.files:
         np.testing.assert_array_equal(za[k], zb[k], err_msg=k)
+
+
+# -- AsyncCheckpointer ---------------------------------------------------
+
+
+def test_async_save_matches_sync(tmp_path):
+    from rtts.train.checkpoint import AsyncCheckpointer
+
+    t = _tree(3.0)
+    with AsyncCheckpointer() as ck:
+        ck.save(tmp_path / "a", t, step=5, metric=0.1)
+    sync_dir = tmp_path / "b"
+    save_checkpoint(sync_dir, t, step=5, metric=0.1)
+    ra, _ = restore_checkpoint(latest_checkpoint(tmp_path / "a"), _tree(0.0))
+    rb, _ = restore_checkpoint(latest_checkpoint(sync_dir), _tree(0.0))
+    for la, lb in zip(jax.tree_util.tree_leaves(ra),
+                      jax.tree_util.tree_leaves(rb)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_async_save_snapshots_before_donation(tmp_path):
+    """The tree is copied to host inside save(): overwriting the arrays
+    right after save() returns (what a donated train step does) must not
+    corrupt the checkpoint."""
+    from rtts.train.checkpoint import AsyncCheckpointer
+
+    buf = np.ones((256, 256), np.float32)
+    with AsyncCheckpointer() as ck:
+        ck.save(tmp_path, {"w": jnp.asarray(buf)}, step=1)
+        buf[:] = -1.0  # the jnp.asarray copied already; mutate the source
+    restored, _ = restore_checkpoint(latest_checkpoint(tmp_path),
+                                     {"w": jnp.zeros((256, 256))})
+    np.testing.assert_array_equal(np.asarray(restored["w"]), 1.0)
+
+
+def test_async_saves_serialize_in_order(tmp_path):
+    from rtts.train.checkpoint import AsyncCheckpointer
+
+    with AsyncCheckpointer() as ck:
+        for s in (1, 2, 3):
+            ck.save(tmp_path, _tree(float(s)), step=s, metric=float(s),
+                    keep=10)
+    path = latest_checkpoint(tmp_path)
+    assert path and path.endswith("step_3")
+    restored, step = restore_checkpoint(path, _tree(0.0))
+    assert step == 3
+    np.testing.assert_array_equal(np.asarray(restored["params"]["a"]),
+                                  3.0 * np.ones((3, 4)))
+
+
+def test_async_error_surfaces_on_wait(tmp_path):
+    from rtts.train.checkpoint import AsyncCheckpointer
+
+    blocker = tmp_path / "not_a_dir"
+    blocker.write_text("file where the checkpoint dir should go")
+    ck = AsyncCheckpointer()
+    ck.save(blocker / "sub", _tree(), step=1)
+    with pytest.raises(Exception):
+        ck.wait()
+    # the error is consumed: the checkpointer is reusable afterwards
+    ck.save(tmp_path / "ok", _tree(), step=2)
+    ck.wait()
+    assert latest_checkpoint(tmp_path / "ok")
