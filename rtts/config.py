@@ -166,7 +166,14 @@ class ReformerStackConfig:
     num_layers: int = 6
     d_model: int = 512
     d_ff: int = 2048
-    ffn_chunk_size: int = 0           # 0 => no chunking
+    # FFN length-chunking (the Reformer lineage's chunked feed-forward):
+    # 0 => one unchunked matmul; N => remat over N-frame chunks via
+    # lax.map (O(chunk) FFN-hidden transient, for the reversible memory
+    # regime); "auto" => chunk (AUTO_FFN_CHUNK) only when the residual
+    # scheme resolves REVERSIBLE for the apply shapes — under plain
+    # residuals the remat buys no memory and the serialized chunks cost
+    # ~5% of the flagship train step (BENCH.md r3 "step parts").
+    ffn_chunk_size: Union[int, str] = 0
     ffn_activation: str = "gelu"
     dropout: float = 0.1
     # True | False | "auto".  Reversible residuals give O(1) activation
@@ -488,6 +495,33 @@ def resolve_reversible(cfg: "ReformerStackConfig", batch: int, seq_len: int,
         raise ValueError(
             f"reversible must be true, false or 'auto', got {cfg.reversible!r}")
     return _plain_transient_mb(cfg, batch, seq_len, mem_len) > cfg.auto_plain_budget_mb
+
+
+# ffn_chunk_size="auto" chunk width: 256 frames matches the shipped
+# explicit configs and keeps the FFN hidden transient per chunk at
+# chunk * d_ff * 4B (0.5 MB at d_ff 2048) in the reversible regime.
+AUTO_FFN_CHUNK = 256
+
+
+def resolve_ffn_chunk(cfg: "ReformerStackConfig", batch: int, seq_len: int,
+                      mem_len: Optional[int] = None) -> int:
+    """Resolve ffn_chunk_size for the given (static) apply shapes.
+
+    "auto" couples the chunk to the residual-scheme resolution: chunking
+    remats each chunk (its purpose is the reversible regime's O(chunk)
+    FFN-hidden memory), so under plain residuals it is pure cost —
+    measured 5-6% of the flagship train step (BENCH.md r3 "step parts",
+    73.7 vs 70.1 ms same-process) — and "auto" turns it off there."""
+    c = cfg.ffn_chunk_size
+    if isinstance(c, str):
+        if c != "auto":
+            raise ValueError(
+                f"ffn_chunk_size must be an int or 'auto', got {c!r}")
+        return (AUTO_FFN_CHUNK
+                if resolve_reversible(cfg, batch, seq_len, mem_len) else 0)
+    if c < 0:
+        raise ValueError(f"ffn_chunk_size must be >= 0, got {c}")
+    return c
 
 
 # ---------------------------------------------------------------------------

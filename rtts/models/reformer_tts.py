@@ -114,8 +114,15 @@ def _pad_multiple(cfg_stack) -> int:
     # alignment is harmless for full attention and required if the length
     # lands on the LSH side of the crossover
     m = a.chunk_length if a.kind in ("lsh", "local", "auto") else 1
-    if cfg_stack.ffn_chunk_size > 0:
-        m = math.lcm(m, cfg_stack.ffn_chunk_size)
+    c = cfg_stack.ffn_chunk_size
+    if c == "auto":
+        # chunking MAY engage (shape-dependent): pad to the auto chunk so
+        # either resolution divides the padded length
+        from rtts.config import AUTO_FFN_CHUNK
+
+        m = math.lcm(m, AUTO_FFN_CHUNK)
+    elif c > 0:
+        m = math.lcm(m, c)
     return m
 
 

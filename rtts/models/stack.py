@@ -151,16 +151,25 @@ def make_stack_layer_fns(
         return out, None
 
     def g_ffn(params, y, memory, aux):
+        from rtts.config import resolve_ffn_chunk
+
+        # "auto" resolves from the SAME static shapes the residual scheme
+        # resolves from (stack_apply's resolve_reversible call sees the
+        # identical (batch, seq, mem) triple), so chunking engages exactly
+        # when the remat is buying reversible-regime memory
+        chunk = resolve_ffn_chunk(
+            cfg, y.shape[0], y.shape[1],
+            memory.shape[1] if memory is not None else None)
         if cfg.use_pallas_ffn and jax.devices()[0].platform == "tpu":
             from rtts.ops.chunked_ffn import chunked_ffn_pallas
 
-            row_block = cfg.ffn_chunk_size if cfg.ffn_chunk_size > 0 else 256
+            row_block = chunk if chunk > 0 else 256
             mxu = ("bfloat16" if compute_dtype == jnp.bfloat16
                    else "float32")
             out = chunked_ffn_pallas(params, y, cfg.ffn_activation,
                                      row_block=row_block, mxu_dtype=mxu)
         else:
-            out = chunked_ffn(params, y, cfg.ffn_chunk_size,
+            out = chunked_ffn(params, y, chunk,
                               cfg.ffn_activation, compute_dtype)
         return dropout(aux["rng_g"], out, cfg.dropout, deterministic)
 

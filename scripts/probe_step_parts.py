@@ -67,19 +67,23 @@ def main():
     print(f"{'':34s} temp {temp_u:.0f} MB", flush=True)
     del step_u, pu, su
 
-    # 2. loss forward only
-    def fwd_loss(mel_in, p):
+    # 2. loss forward only (_time_loop chains x-shaped carries: broadcast
+    # the scalar loss back onto the mel carry)
+    def loss_of(mel_in, p):
         pre, post, stop = M.forward(p, cfg.model, tokens, tmask, mel_in,
                                     mmask, rng=rng, deterministic=False)
         return tts_loss(pre, post, stop, mel_in,
                         make_stop_target(mmask), mmask)[0]
+
+    def fwd_loss(mel_in, p):
+        return mel_in * 0.999 + loss_of(mel_in, p) * 1e-6
 
     report("loss forward only",
            _time_loop(fwd_loss, mel, (params,), iters=8, repeats=5))
 
     # 3. value_and_grad (no optimizer)
     def vg(mel_in, p):
-        return jax.value_and_grad(lambda pp: fwd_loss(mel_in, pp))(p)[0]
+        return jax.grad(lambda mm: loss_of(mm, p))(mel_in)
 
     report("loss fwd+bwd (no optim)",
            _time_loop(vg, mel, (params,), iters=8, repeats=5))
@@ -90,16 +94,15 @@ def main():
 
     def opt_only(g, p, s):
         upd, s2 = optimizer.update(g, s)
-        newp = optax.apply_updates(p, upd)
-        return jax.tree_util.tree_leaves(newp)[0]
+        return optax.apply_updates(p, upd)   # params-shaped == grads-shaped
 
     grads = jax.tree_util.tree_map(jnp.ones_like, params)
     report("optimizer update+apply",
            _time_loop(opt_only, grads, (params, opt_state),
                       iters=16, repeats=5))
 
-    # 5. encoder fwd+bwd
-    def enc(x_tokens, p):
+    # 5. encoder fwd+bwd (params are the carry: grads are params-shaped)
+    def enc(p, x_tokens):
         def f(pp):
             memory = M.encode(pp, cfg.model, x_tokens, tmask, rng=rng,
                               deterministic=False)
@@ -107,7 +110,7 @@ def main():
         return jax.grad(f)(p)
 
     report("encoder stack fwd+bwd",
-           _time_loop(enc, tokens, (params,), iters=8, repeats=5))
+           _time_loop(enc, params, (tokens,), iters=8, repeats=5))
 
     # 6. postnet fwd+bwd
     def post(mel_in, p):

@@ -142,3 +142,58 @@ def test_yaml_accepts_auto_and_bool():
     assert d["encoder"]["reversible"] == "auto"
     d = apply_overrides({}, ["encoder.reversible=false"])
     assert d["encoder"]["reversible"] is False
+
+
+# -- ffn_chunk_size="auto" (coupled to the reversible resolution) ----------
+
+
+def test_resolve_ffn_chunk_rule():
+    import pytest
+
+    from rtts.config import AUTO_FFN_CHUNK, resolve_ffn_chunk
+
+    # ints pass through
+    assert resolve_ffn_chunk(_cfg(True), 2, 64) == 0
+    c128 = dataclasses.replace(_cfg(True), ffn_chunk_size=128)
+    assert resolve_ffn_chunk(c128, 2, 64) == 128
+    # auto: plain shapes -> unchunked; reversible shapes -> AUTO_FFN_CHUNK
+    auto = dataclasses.replace(_cfg("auto"), ffn_chunk_size="auto")
+    assert resolve_ffn_chunk(auto, 2, 64) == 0
+    assert resolve_ffn_chunk(auto, 256, 8192) == AUTO_FFN_CHUNK
+    # auto with explicit reversible=True chunks everywhere
+    auto_rev = dataclasses.replace(_cfg(True), ffn_chunk_size="auto")
+    assert resolve_ffn_chunk(auto_rev, 2, 64) == AUTO_FFN_CHUNK
+    with pytest.raises(ValueError, match="auto"):
+        resolve_ffn_chunk(dataclasses.replace(_cfg(True),
+                                              ffn_chunk_size="always"),
+                          2, 64)
+    with pytest.raises(ValueError, match=">= 0"):
+        resolve_ffn_chunk(dataclasses.replace(_cfg(True),
+                                              ffn_chunk_size=-1), 2, 64)
+
+
+def test_ffn_chunk_auto_forward_matches_explicit():
+    """auto == unchunked bit-exactly at plain shapes; == 256-chunked
+    bit-exactly when forced reversible (chunking is memory shape, not
+    math — both identities must hold through the stack)."""
+    from rtts.config import AUTO_FFN_CHUNK
+
+    base = _cfg("auto")
+    key = jax.random.PRNGKey(0)
+    # seq len divisible by AUTO_FFN_CHUNK so every variant is legal
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, AUTO_FFN_CHUNK, 32))
+
+    def run(cfg):
+        params = stack_init(jax.random.PRNGKey(2), cfg, cross_attend=False)
+        return np.asarray(stack_apply(params, cfg, x, mask=None,
+                                      deterministic=True))
+
+    out_auto = run(dataclasses.replace(base, ffn_chunk_size="auto"))
+    out_plain = run(dataclasses.replace(base, ffn_chunk_size=0))
+    np.testing.assert_array_equal(out_auto, out_plain)
+
+    rev = _cfg(True)
+    out_auto_r = run(dataclasses.replace(rev, ffn_chunk_size="auto"))
+    out_chunk_r = run(dataclasses.replace(rev,
+                                          ffn_chunk_size=AUTO_FFN_CHUNK))
+    np.testing.assert_array_equal(out_auto_r, out_chunk_r)
