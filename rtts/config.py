@@ -193,6 +193,11 @@ class ReformerStackConfig:
     # together with params/optimizer state; raise it on larger chips.
     auto_plain_budget_mb: int = 4096
     causal: bool = False
+    # (a residual_dtype="bfloat16" stream knob was probed and REJECTED:
+    # +9% step time at flagship — the f32<->bf16 round-trips around the
+    # f32 LN internals cost more than the stream bytes save; BENCH.md r3
+    # "step parts".  Streams ride f32, the torch-AMP-equivalent numerics
+    # the fidelity contract mirrors.)
     # fused LN+FFN kernel: measured a wash on v5e (0.95-1.01x vs XLA,
     # BENCH.md r2) — default OFF, available for accuracy-sensitive runs
     use_pallas_ffn: bool = False

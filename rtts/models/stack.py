@@ -260,7 +260,9 @@ def stack_apply(
     # X2 = Y2 - g(Y1) by subtraction, and bf16 streams would accumulate
     # reconstruction error across layers.  Sublayer matmuls still run in the
     # configured compute dtype (casts happen inside f/g); the bf16 sublayer
-    # outputs promote back to f32 on the residual add.
+    # outputs promote back to f32 on the residual add.  (A bf16-stream knob
+    # was probed for the plain regime and REJECTED: +9% step time — the
+    # casts break fusion; BENCH.md r3 "step parts".)
     from rtts.config import resolve_reversible
 
     y = reversible_sequence(

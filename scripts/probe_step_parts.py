@@ -67,6 +67,11 @@ def main():
     print(f"{'':34s} temp {temp_u:.0f} MB", flush=True)
     del step_u, pu, su
 
+    # (a bf16 residual-stream variant was probed here and REJECTED:
+    # 77.1 vs 70.6 ms — the f32<->bf16 round-trips around the f32 LN
+    # internals break XLA fusion and cost more than the stream bytes
+    # save; BENCH.md r3 "step parts")
+
     # 2. loss forward only (_time_loop chains x-shaped carries: broadcast
     # the scalar loss back onto the mel carry)
     def loss_of(mel_in, p):
@@ -142,9 +147,13 @@ def main():
             return jax.grad(f)(xx)
         return g
 
-    dt_c = _time_loop(ffn(st.ffn_chunk_size), x, (fp,), iters=16, repeats=5)
+    from rtts.config import AUTO_FFN_CHUNK
+
+    chunk = (AUTO_FFN_CHUNK if st.ffn_chunk_size == "auto"
+             else st.ffn_chunk_size)
+    dt_c = _time_loop(ffn(chunk), x, (fp,), iters=16, repeats=5)
     dt_u = _time_loop(ffn(0), x, (fp,), iters=16, repeats=5)
-    report(f"one FFN sublayer (chunk {st.ffn_chunk_size})", dt_c)
+    report(f"one FFN sublayer (chunk {chunk})", dt_c)
     report("one FFN sublayer (unchunked)", dt_u)
     report("  -> x12 layers, chunked", dt_c * 12)
     report("  -> x12 layers, unchunked", dt_u * 12)

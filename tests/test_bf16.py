@@ -42,3 +42,4 @@ def test_bf16_grads_close_to_f32():
     cos = float(jnp.dot(f32, f16) /
                 (jnp.linalg.norm(f32) * jnp.linalg.norm(f16) + 1e-9))
     assert cos > 0.99, cos
+
