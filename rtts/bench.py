@@ -674,6 +674,48 @@ def bench_vocoder(cfg: Optional[Config] = None, batch: int = 8,
             "flops": flops, "mfu": _mfu(flops, dt)}
 
 
+def bench_vocoder_train(cfg: Optional[Config] = None, batch: int = 8,
+                        repeats: int = 3) -> Dict[str, Any]:
+    """SqueezeWave train step (fwd flow NLL + bwd + Adam) at the shipped
+    crop length — the other half of SURVEY.md §7's train-throughput story
+    (bench_train_step covers the TTS model)."""
+    import optax
+
+    from rtts.models import squeezewave as SW
+    from rtts.train.optim import make_optimizer
+    from rtts.train.train_vocoder import make_train_step
+
+    cfg = cfg or base_bench_config()
+    voc = cfg.vocoder
+    params = SW.init(jax.random.PRNGKey(0), voc)
+    optimizer = make_optimizer(cfg.experiment.optim)
+    opt_state = optimizer.init(params)
+    seg = voc.audio_segment_length
+    frames = seg // voc.hop_length
+    batch_data = {
+        "mel": jax.random.normal(jax.random.PRNGKey(1),
+                                 (batch, frames, voc.n_mels)),
+        "audio": jax.random.normal(jax.random.PRNGKey(2),
+                                   (batch, seg)) * 0.1,
+    }
+    step = jax.jit(make_train_step(voc, optimizer))
+    params, opt_state, _ = _sync(step(params, opt_state, batch_data))
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        params, opt_state, metrics = _sync(step(params, opt_state,
+                                                batch_data))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    audio_seconds = batch * seg / voc.sample_rate
+    flops = _compiled_flops(make_train_step(voc, optimizer), params,
+                            opt_state, batch_data)
+    return {"vocoder_train_step_seconds": dt,
+            "audio_seconds_per_step": audio_seconds,
+            "train_rtf": dt / audio_seconds,
+            "flops": flops, "mfu": _mfu(flops, dt)}
+
+
 def bench_train_step(cfg: Optional[Config] = None, batch: int = 8,
                      token_len: int = 256, mel_len: int = 512,
                      repeats: int = 3) -> Dict[str, Any]:
@@ -942,6 +984,13 @@ def run_bench(cfg: Optional[Config] = None, which: str = "e2e") -> str:
                 "value": round(r["frames_per_sec_train"], 2),
                 "vs_baseline": round(
                     r["frames_per_sec_train"] / _frame_rate(cfg), 4),
+                "detail": r}
+    elif which == "vocoder_train":
+        r = bench_vocoder_train(cfg)
+        # anchor: multiples of real-time audio consumed per train second
+        line = {"metric": "vocoder_train_rtf", "unit": "rtf",
+                "value": round(r["train_rtf"], 5),
+                "vs_baseline": round(1.0 / max(r["train_rtf"], 1e-9), 4),
                 "detail": r}
     elif which == "serving":
         r = bench_serving(cfg)

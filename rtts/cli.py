@@ -274,6 +274,7 @@ def serve(cfg: Config, texts_file, text, tts_ckpt, vocoder_ckpt, out_dir,
 @cli.command()
 @click.option("--which", default="decode",
               type=click.Choice(["decode", "e2e", "vocoder", "train",
+                                 "vocoder_train",
                                  "longform", "serving", "continuous",
                                  "kernels", "all"]))
 @click.pass_obj
@@ -283,7 +284,8 @@ def bench(cfg: Config, which):
     from rtts.utils.profiling import enable_compilation_cache
 
     enable_compilation_cache()
-    modes = (["decode", "e2e", "vocoder", "train", "longform", "serving",
+    modes = (["decode", "e2e", "vocoder", "train", "vocoder_train",
+              "longform", "serving",
               "continuous", "kernels"]
              if which == "all" else [which])
     for m in modes:
