@@ -124,3 +124,26 @@ def test_long_text_truncates_at_token_budget(export_dir):
     exp = ExportedSynthesizer(out)
     mel, lengths = exp.text_to_mel(["x " * 200])
     assert mel.shape[0] == 1 and int(lengths[0]) >= 1
+
+
+def test_format_version_mismatch_rejected(export_dir, tmp_path):
+    out, _, manifest = export_dir
+    import shutil
+    bad = tmp_path / "bad_export"
+    shutil.copytree(out, bad)
+    m = dict(manifest)
+    m["format_version"] = 999
+    with open(bad / "manifest.json", "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ValueError, match="format"):
+        ExportedSynthesizer(str(bad))
+
+
+def test_pick_batch_prefers_smallest_covering_size(export_dir):
+    out, _, _ = export_dir
+    exp = ExportedSynthesizer(out)
+    exp.manifest["batch_sizes"] = [1, 4, 16]
+    assert exp._pick_batch(1) == 1
+    assert exp._pick_batch(3) == 4
+    assert exp._pick_batch(16) == 16
+    assert exp._pick_batch(40) == 16   # chunking handles the overflow
