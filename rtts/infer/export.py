@@ -85,6 +85,11 @@ def export_synthesizer(
     same zero-pad contract the batched continuous-vocoder path uses).
     Returns the manifest dict (also written to ``manifest.json``)."""
     cfg: Config = synth.cfg
+    if getattr(synth, "mesh", None) is not None:
+        raise ValueError(
+            "export_synthesizer needs a single-device Synthesizer: "
+            "sharded params cannot be baked into a portable artifact — "
+            "build the Synthesizer without mesh= for export")
     tcfg = cfg.dataset.text
     token_len = int(token_len or tcfg.max_len)
     if tcfg.pad_to_multiple and token_len % tcfg.pad_to_multiple:
