@@ -29,6 +29,24 @@ def _inv_sqrt(cfg: OptimConfig):
     return sched
 
 
+def lr_at_step(cfg: OptimConfig, step: int) -> float:
+    """Effective learning rate at a given TRAIN step (for logging).
+
+    With gradient accumulation the inner chain (and so the schedule's
+    update counter) advances once per ``accumulate_steps`` micro-batches,
+    which is exactly how ``optax.MultiSteps`` counts it."""
+    sched = make_schedule(cfg)
+    if not callable(sched):
+        return float(sched)
+    updates = step // max(1, cfg.accumulate_steps)
+    # call with a traced-style scalar: join_schedules evaluates EVERY branch
+    # (selecting afterwards), and the inverse-sqrt branch divides by zero on
+    # python ints at count 0 — jnp semantics give inf there, unselected
+    import jax.numpy as jnp
+
+    return float(sched(jnp.asarray(updates)))
+
+
 def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
     sched = make_schedule(cfg)
     chain = []

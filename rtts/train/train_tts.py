@@ -38,8 +38,9 @@ from rtts.train.checkpoint import (
     restore_checkpoint,
     save_checkpoint,
 )
+from rtts.train.interrupt import GracefulStop
 from rtts.train.losses import make_stop_target, tts_loss
-from rtts.train.optim import make_optimizer
+from rtts.train.optim import lr_at_step, make_optimizer
 from rtts.utils.metrics import MetricLogger
 
 
@@ -90,130 +91,161 @@ def _shard_batch(batch: Dict[str, np.ndarray], mesh) -> Dict[str, jnp.ndarray]:
 
 
 def train_tts(cfg: Config, workdir: str, max_steps: Optional[int] = None,
-              manifest_path: Optional[str] = None) -> Dict[str, Any]:
-    """Run TTS training; returns final metrics. Resumable."""
-    work = pathlib.Path(workdir)
-    work.mkdir(parents=True, exist_ok=True)
-    exp = cfg.experiment
-    max_steps = max_steps if max_steps is not None else exp.max_steps
-    if exp.debug_nans:
-        from rtts.utils.profiling import enable_nan_debugging
+              manifest_path: Optional[str] = None,
+              stop: Optional[Any] = None) -> Dict[str, Any]:
+    """Run TTS training; returns final metrics. Resumable.
 
-        enable_nan_debugging()
+    ``stop``: optional object with a ``stop_requested`` property, polled
+    at every step boundary (injection point for tests / embedding hosts).
+    When None, a :class:`GracefulStop` is installed so SIGTERM/SIGINT
+    (cloud-TPU preemption, ctrl-C) checkpoint-and-exit cleanly instead
+    of killing the run mid-step (SURVEY.md §6.3)."""
+    import contextlib
 
-    from rtts.config import save_config
-    if jax.process_index() == 0:
-        save_config(cfg, work / "config.yaml")
+    # the stop context wraps ALL of training (setup, compiles, the
+    # step loop): a preemption signal during the first compile is as
+    # real as one mid-run, and must not fall through to the default
+    # handler (= process kill)
+    stop_ctx = GracefulStop() if stop is None else contextlib.nullcontext(stop)
+    with stop_ctx as stopper:
+        work = pathlib.Path(workdir)
+        work.mkdir(parents=True, exist_ok=True)
+        exp = cfg.experiment
+        max_steps = max_steps if max_steps is not None else exp.max_steps
+        if exp.debug_nans:
+            from rtts.utils.profiling import enable_nan_debugging
 
-    # -- data ---------------------------------------------------------------
-    man = Manifest.load(manifest_path or
-                        pathlib.Path(cfg.dataset.data_dir) / cfg.dataset.manifest)
-    train_man, val_man = split_manifest(man, cfg.dataset.val_fraction,
-                                        cfg.dataset.split_seed)
-    train_ds = TextMelDataset(train_man, cfg.dataset)
-    val_ds = TextMelDataset(val_man, cfg.dataset)
-    # step->batch is a pure function (EpochBatcher), and the per-step RNG is
-    # fold_in(key, step): together they make mid-epoch resume BIT-EXACT —
-    # steps k..N of a resumed run replay the exact batches and dropout of an
-    # uninterrupted run (tested in test_checkpoint.py)
-    batcher = EpochBatcher(train_ds, cfg.dataset.batch_size,
-                           seed=cfg.dataset.shuffle_seed,
-                           drop_last=len(train_ds) > cfg.dataset.batch_size)
+            enable_nan_debugging()
 
-    # -- model / optimizer / mesh ------------------------------------------
-    model_cfg = cfg.model
-    if model_cfg.vocab_size <= 0:
-        from rtts.text import frontend_vocab_size
-        import dataclasses
-        model_cfg = dataclasses.replace(
-            model_cfg, vocab_size=frontend_vocab_size(cfg.dataset.text.level))
-    initialize_distributed(exp.mesh)
-    mesh = make_mesh(exp.mesh)
-    optimizer = make_optimizer(exp.optim)
+        from rtts.config import save_config
+        if jax.process_index() == 0:
+            save_config(cfg, work / "config.yaml")
 
-    rng = jax.random.PRNGKey(exp.seed)
-    params = M.init(jax.random.PRNGKey(exp.seed), model_cfg)
-    opt_state = optimizer.init(params)
-    step0 = 0
+        # -- data ---------------------------------------------------------------
+        man = Manifest.load(manifest_path or
+                            pathlib.Path(cfg.dataset.data_dir) / cfg.dataset.manifest)
+        train_man, val_man = split_manifest(man, cfg.dataset.val_fraction,
+                                            cfg.dataset.split_seed)
+        train_ds = TextMelDataset(train_man, cfg.dataset)
+        val_ds = TextMelDataset(val_man, cfg.dataset)
+        # step->batch is a pure function (EpochBatcher), and the per-step RNG is
+        # fold_in(key, step): together they make mid-epoch resume BIT-EXACT —
+        # steps k..N of a resumed run replay the exact batches and dropout of an
+        # uninterrupted run (tested in test_checkpoint.py)
+        batcher = EpochBatcher(train_ds, cfg.dataset.batch_size,
+                               seed=cfg.dataset.shuffle_seed,
+                               drop_last=len(train_ds) > cfg.dataset.batch_size)
 
-    ckpt_dir = work / cfg.experiment.checkpoint.directory
-    if exp.checkpoint.resume:
-        latest = latest_checkpoint(ckpt_dir)
-        if latest:
-            restored, step0 = restore_checkpoint(
-                latest, {"params": params, "opt_state": opt_state})
-            params, opt_state = restored["params"], restored["opt_state"]
-            print(f"resumed from {latest} at step {step0}")
+        # -- model / optimizer / mesh ------------------------------------------
+        model_cfg = cfg.model
+        if model_cfg.vocab_size <= 0:
+            from rtts.text import frontend_vocab_size
+            import dataclasses
+            model_cfg = dataclasses.replace(
+                model_cfg, vocab_size=frontend_vocab_size(cfg.dataset.text.level))
+        initialize_distributed(exp.mesh)
+        mesh = make_mesh(exp.mesh)
+        optimizer = make_optimizer(exp.optim)
 
-    with mesh:
-        # TP when the mesh has a model axis > 1; ZeRO-1 moments on request
-        from rtts.parallel.sharding import (make_param_shardings,
-                                            opt_state_shardings)
+        rng = jax.random.PRNGKey(exp.seed)
+        params = M.init(jax.random.PRNGKey(exp.seed), model_cfg)
+        opt_state = optimizer.init(params)
+        step0 = 0
 
-        tp = exp.mesh.model_parallel > 1
-        params = jax.device_put(
-            params, make_param_shardings(params, mesh, tensor_parallel=tp))
-        opt_state = jax.device_put(
-            opt_state, opt_state_shardings(opt_state, mesh,
-                                           tensor_parallel=tp,
-                                           zero=exp.mesh.zero_sharding))
-        train_step = jax.jit(make_train_step(model_cfg, optimizer),
-                             donate_argnums=(0, 1))
-        eval_step = jax.jit(make_eval_step(model_cfg))
+        ckpt_dir = work / cfg.experiment.checkpoint.directory
+        if exp.checkpoint.resume:
+            latest = latest_checkpoint(ckpt_dir)
+            if latest:
+                restored, step0 = restore_checkpoint(
+                    latest, {"params": params, "opt_state": opt_state})
+                params, opt_state = restored["params"], restored["opt_state"]
+                print(f"resumed from {latest} at step {step0}")
 
-        # host IO (metrics, checkpoints, artifacts) is process-0 only;
-        # every process still executes the SPMD train/eval computation
-        is_main = jax.process_index() == 0
-        logger = MetricLogger(str(work / exp.logging.jsonl_path),
-                              exp.logging.tensorboard_dir) if is_main else None
-        # async saves overlap the npz write with the next train steps;
-        # _save snapshots to host first, so donation can't corrupt them
-        saver = AsyncCheckpointer() if exp.checkpoint.async_save else None
+        with mesh:
+            # TP when the mesh has a model axis > 1; ZeRO-1 moments on request
+            from rtts.parallel.sharding import (make_param_shardings,
+                                                opt_state_shardings)
 
-        def _save(step, metric):
-            state = {"params": params, "opt_state": opt_state}
+            tp = exp.mesh.model_parallel > 1
+            params = jax.device_put(
+                params, make_param_shardings(params, mesh, tensor_parallel=tp))
+            opt_state = jax.device_put(
+                opt_state, opt_state_shardings(opt_state, mesh,
+                                               tensor_parallel=tp,
+                                               zero=exp.mesh.zero_sharding))
+            train_step = jax.jit(make_train_step(model_cfg, optimizer),
+                                 donate_argnums=(0, 1))
+            eval_step = jax.jit(make_eval_step(model_cfg))
+
+            # host IO (metrics, checkpoints, artifacts) is process-0 only;
+            # every process still executes the SPMD train/eval computation
+            is_main = jax.process_index() == 0
+            logger = MetricLogger(str(work / exp.logging.jsonl_path),
+                                  exp.logging.tensorboard_dir) if is_main else None
+            # async saves overlap the npz write with the next train steps;
+            # _save snapshots to host first, so donation can't corrupt them
+            saver = AsyncCheckpointer() if exp.checkpoint.async_save else None
+
+            def _save(step, metric):
+                state = {"params": params, "opt_state": opt_state}
+                if saver is not None:
+                    saver.save(ckpt_dir, state, step, metric=metric,
+                               keep=exp.checkpoint.keep)
+                else:
+                    save_checkpoint(ckpt_dir, state, step, metric=metric,
+                                    keep=exp.checkpoint.keep)
+
+            last_metrics: Dict[str, Any] = {}
+            t_last = time.time()
+            for step in range(step0, max_steps):
+                batch = _shard_batch(batcher.batch_at(step), mesh)
+                sub = jax.random.fold_in(rng, step)
+                params, opt_state, metrics = train_step(params, opt_state,
+                                                        batch, sub)
+
+                if (step + 1) % exp.logging.log_every_steps == 0 or step == step0:
+                    metrics = jax.device_get(metrics)
+                    now = time.time()
+                    metrics["steps_per_sec"] = (
+                        exp.logging.log_every_steps / max(now - t_last, 1e-6))
+                    metrics["lr"] = lr_at_step(exp.optim, step)
+                    t_last = now
+                    if is_main:
+                        logger.log(step + 1, metrics, prefix="train/")
+                    last_metrics = metrics
+
+                saved = False
+                if (step + 1) % exp.logging.eval_every_steps == 0 or step + 1 == max_steps:
+                    val_metrics = _run_eval(cfg, model_cfg, eval_step, params,
+                                            val_ds, mesh, work, step + 1,
+                                            artifacts=is_main)
+                    if is_main:
+                        logger.log(step + 1, val_metrics, prefix="val/")
+                        _save(step + 1,
+                              metric=float(val_metrics.get("loss", 0.0)))
+                        saved = True
+                elif (step + 1) % exp.checkpoint.save_every_steps == 0:
+                    # periodic save between evals (crash-resume granularity,
+                    # SURVEY.md §6.4); unranked — top-k ranking stays on val loss
+                    if is_main:
+                        _save(step + 1, metric=None)
+                        saved = True
+
+                if stopper.stop_requested:
+                    # preemption / ctrl-C: checkpoint the completed step and
+                    # leave cleanly; resume replays from here bit-exactly
+                    if is_main and not saved:
+                        _save(step + 1, metric=None)
+                    last_metrics["interrupted_at_step"] = step + 1
+                    if is_main:
+                        print(f"stop requested: checkpointed step {step + 1}, "
+                              "exiting cleanly (resume to continue)")
+                    break
             if saver is not None:
-                saver.save(ckpt_dir, state, step, metric=metric,
-                           keep=exp.checkpoint.keep)
-            else:
-                save_checkpoint(ckpt_dir, state, step, metric=metric,
-                                keep=exp.checkpoint.keep)
-
-        last_metrics: Dict[str, Any] = {}
-        t_last = time.time()
-        for step in range(step0, max_steps):
-            batch = _shard_batch(batcher.batch_at(step), mesh)
-            sub = jax.random.fold_in(rng, step)
-            params, opt_state, metrics = train_step(params, opt_state, batch, sub)
-
-            if (step + 1) % exp.logging.log_every_steps == 0 or step == step0:
-                metrics = jax.device_get(metrics)
-                now = time.time()
-                metrics["steps_per_sec"] = (
-                    exp.logging.log_every_steps / max(now - t_last, 1e-6))
-                t_last = now
-                if is_main:
-                    logger.log(step + 1, metrics, prefix="train/")
-                last_metrics = metrics
-
-            if (step + 1) % exp.logging.eval_every_steps == 0 or step + 1 == max_steps:
-                val_metrics = _run_eval(cfg, model_cfg, eval_step, params,
-                                        val_ds, mesh, work, step + 1,
-                                        artifacts=is_main)
-                if is_main:
-                    logger.log(step + 1, val_metrics, prefix="val/")
-                    _save(step + 1,
-                          metric=float(val_metrics.get("loss", 0.0)))
-            elif (step + 1) % exp.checkpoint.save_every_steps == 0:
-                # periodic save between evals (crash-resume granularity,
-                # SURVEY.md §6.4); unranked — top-k ranking stays on val loss
-                if is_main:
-                    _save(step + 1, metric=None)
-        if saver is not None:
-            saver.wait()   # flush before anyone reads the directory back
-        if is_main:
-            logger.close()
-    return last_metrics
+                saver.wait()   # flush before anyone reads the directory back
+            if is_main:
+                logger.close()
+        return last_metrics
 
 
 def _run_eval(cfg, model_cfg, eval_step, params, val_ds, mesh, work,

@@ -108,3 +108,26 @@ def test_trainer_runs_with_accumulation(tmp_path):
     assert np.isfinite(float(m1["loss"]))
     m2 = train_tts(cfg, str(work), max_steps=6)  # resume mid-cycle state
     assert np.isfinite(float(m2["loss"]))
+
+
+def test_lr_at_step_tracks_schedule_and_accumulation():
+    from rtts.train.optim import lr_at_step, make_schedule
+
+    cfg = OptimConfig(learning_rate=1e-3, schedule="noam", warmup_steps=10,
+                      total_steps=100)
+    # warmup is monotonically increasing up to the peak at warmup_steps
+    lrs = [lr_at_step(cfg, s) for s in range(0, 11)]
+    assert all(b >= a for a, b in zip(lrs, lrs[1:]))
+    assert abs(lrs[10] - 1e-3) < 1e-9
+    # beyond warmup: inverse-sqrt decay
+    assert lr_at_step(cfg, 40) < lr_at_step(cfg, 11)
+
+    # with accumulation the schedule advances once per k micro-steps
+    import dataclasses
+    acc = dataclasses.replace(cfg, accumulate_steps=4)
+    assert lr_at_step(acc, 39) == lr_at_step(cfg, 9)
+
+    # constant schedule: plain float
+    const = OptimConfig(learning_rate=5e-4, schedule="constant")
+    assert lr_at_step(const, 123) == 5e-4
+    assert isinstance(make_schedule(const), float)
