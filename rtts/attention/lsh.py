@@ -48,7 +48,6 @@ from rtts.attention.full import (
 )
 from rtts.config import AttentionConfig
 from rtts.nn.layers import dense
-from rtts.nn.layers import dropout as nn_dropout
 
 
 class LshCache(NamedTuple):
@@ -147,6 +146,48 @@ def _look_adjacent(x: jnp.ndarray, before: int, after: int) -> jnp.ndarray:
     return jnp.concatenate(slices, axis=-2)
 
 
+def positional_dropout(
+    probs: jnp.ndarray,     # (..., Lq, Lk) attention probs
+    q_pos: jnp.ndarray,     # (..., Lq) ORIGINAL query positions, int
+    k_pos: jnp.ndarray,     # (..., Lk) ORIGINAL key positions, int
+    lane: jnp.ndarray,      # (...)-broadcastable int32 lane id (bh/round)
+    seed_u32: jax.Array,    # uint32 scalar (dropout_seed_from_key(rng))
+    rate: float,
+) -> jnp.ndarray:
+    """Attention-probs dropout as a counter-hash of ORIGINAL positions.
+
+    keep(i, j) is a pure function of (seed, lane, q_pos=i, k_pos=j) — the
+    same lowbias32 draw the flash kernel regenerates tile-wise
+    (rtts/ops/flash_attention.py) — so the mask is invariant to the bucket
+    permutation AND to how the chunk axis is split across devices: the
+    sequence-parallel attend reproduces the single-device mask exactly from
+    the same seed (VERDICT r3 item 3).  Inverted scaling (1/keep_prob), like
+    every other dropout in the framework."""
+    from rtts.ops.flash_attention import _drop_threshold, _keep_tile
+
+    thr = _drop_threshold(rate)
+    seed_i32 = jax.lax.bitcast_convert_type(
+        jnp.asarray(seed_u32, jnp.uint32), jnp.int32)
+    keep = _keep_tile(seed_i32, lane,
+                      q_pos[..., :, None].astype(jnp.int32),
+                      k_pos[..., None, :].astype(jnp.int32), thr)
+    return probs * (keep.astype(probs.dtype) / (1.0 - rate))
+
+
+def dropout_lane(b: int, h: int, chunk_idx: jnp.ndarray,
+                 chunks_per_round: int) -> jnp.ndarray:
+    """(B, H, nc, 1, 1) int32 lane ids for ``positional_dropout`` over a
+    chunked attend: lane = round * (B*H) + b*H + h, so hash rounds draw
+    independent masks while the id stays derivable from GLOBAL chunk
+    indices alone (sharding-invariant — the seq-parallel attend passes its
+    global ``chunk_idx = lo + arange(nc_local)``)."""
+    rounds = chunk_idx.astype(jnp.int32) // chunks_per_round
+    bh = (jnp.arange(b, dtype=jnp.int32)[:, None] * h
+          + jnp.arange(h, dtype=jnp.int32)[None, :])
+    lane = rounds[None, None, :] * (b * h) + bh[:, :, None]
+    return lane[..., None, None]
+
+
 def lsh_attend_chunks(
     q: jnp.ndarray,        # (B,H,nc,c,d) sorted queries
     k: jnp.ndarray,        # (B,H,nc,c,d) sorted normalized keys
@@ -160,16 +201,21 @@ def lsh_attend_chunks(
     self_mask_value: float = SELF_MASK_VALUE,
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    chunks_per_round: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-chunk attend with neighbor lookback.
     Returns (out (B,H,nc,c,d), logsumexp (B,H,nc,c)).
 
     ``dropout_rate``/``dropout_rng``: attention-probs dropout applied after
     the per-chunk softmax (reference lineage's LSHAttention dropout,
-    SURVEY.md §3.2 config row).  The returned logsumexp is of the UNdropped
-    distribution — the multi-round combine weights stay deterministic, only
-    the per-round value mixtures are regularized (matching the torch lineage,
-    which also drops probs after computing the round logits)."""
+    SURVEY.md §3.2 config row), drawn per ORIGINAL (round, q_pos, k_pos) by
+    ``positional_dropout`` — permutation- and sharding-invariant, so the
+    seq-parallel path reproduces the identical mask.  ``chunks_per_round``
+    (= L/c; default: all chunks one round) keys rounds independently.  The
+    returned logsumexp is of the UNdropped distribution — the multi-round
+    combine weights stay deterministic, only the per-round value mixtures
+    are regularized (matching the torch lineage, which also drops probs
+    after computing the round logits)."""
     k_adj = _look_adjacent(k, before, after)
     v_adj = _look_adjacent(v, before, after)
     k_pos = _look_adjacent(q_pos[..., None], before, after)[..., 0]
@@ -185,8 +231,14 @@ def lsh_attend_chunks(
 
     lse = jax.nn.logsumexp(scores, axis=-1)                      # (B,H,nc,c)
     probs = jnp.exp(scores - lse[..., None])
-    probs = nn_dropout(dropout_rng, probs, dropout_rate,
-                       deterministic=dropout_rng is None)
+    if dropout_rng is not None and dropout_rate > 0.0:
+        from rtts.ops.flash_attention import dropout_seed_from_key
+
+        b, h, nc = q.shape[:3]
+        lane = dropout_lane(b, h, jnp.arange(nc), chunks_per_round or nc)
+        probs = positional_dropout(probs, q_pos, k_pos, lane,
+                                   dropout_seed_from_key(dropout_rng),
+                                   dropout_rate)
     out = jnp.einsum("bhnqk,bhnkd->bhnqd", probs.astype(v_adj.dtype), v_adj)
     return out, lse
 
@@ -252,7 +304,7 @@ def lsh_attention_core(
         # (binding dropout kwargs onto a kernel would TypeError at trace)
         attend_fn = functools.partial(
             lsh_attend_chunks, dropout_rate=cfg.attention_dropout,
-            dropout_rng=dropout_rng)
+            dropout_rng=dropout_rng, chunks_per_round=l // c)
     elif attend_fn is None:
         attend_fn = _pick_attend_fn(cfg)
     if l % c != 0:

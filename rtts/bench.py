@@ -468,7 +468,7 @@ def bench_continuous(cfg: Optional[Config] = None, repeats: int = 3,
     # --- engine (online segment API; results stay device-resident) ------
     eng = ServingEngine(cfg, params, slots=slots, capacity_frames=max_frames,
                         segment_frames=segment_frames, token_len=token_len,
-                        stop_threshold=2.0)
+                        stop_threshold=2.0, suppress_dispatch_warning=True)
 
     def run_engine():
         eng.reset()

@@ -302,11 +302,10 @@ class ExportedSynthesizer:
         frames = self.manifest["max_frames"]
         hop = self.manifest["audio"]["hop_length"]
         rows = []
+        # clamp to the artifact's static frame budget: a longer mel
+        # (external caller) truncates rather than crashing on a negative pad
         lengths = [min(int(ln), frames) for ln in lengths]
         for m, ln in zip(mels, lengths):
-            # clamp to the artifact's static frame budget: a longer mel
-            # (external caller) truncates rather than crashing on a
-            # negative pad
             m = np.asarray(m, np.float32)[:ln]
             rows.append(np.pad(m, ((0, frames - m.shape[0]), (0, 0))))
         wavs: List[np.ndarray] = []

@@ -259,7 +259,8 @@ class ServingEngine:
     def __init__(self, cfg: Config, tts_params, vocoder_params=None,
                  slots: int = 8, capacity_frames: int = 1024,
                  segment_frames: int = 64, token_len: Optional[int] = None,
-                 stop_threshold: Optional[float] = None, seed: int = 0):
+                 stop_threshold: Optional[float] = None, seed: int = 0,
+                 suppress_dispatch_warning: bool = False):
         mcfg = cfg.model
         r = mcfg.reduction_factor
         if slots < 1 or capacity_frames < r or segment_frames < r:
@@ -273,6 +274,19 @@ class ServingEngine:
         if segment_frames % r:
             raise ValueError(f"segment_frames {segment_frames} not a "
                              f"multiple of reduction_factor {r}")
+        if not suppress_dispatch_warning:
+            import warnings
+
+            warnings.warn(
+                "ServingEngine pays one host dispatch per segment boundary; "
+                "on dispatch-bound backends (e.g. this repo's tunneled TPU, "
+                "~25 ms/dispatch) it measured 0.36x the pad-to-max baseline "
+                "(BENCH.md 'continuous'). For offline/known-up-front request "
+                "sets use Synthesizer.serve_continuous / serve_pool (fused, "
+                "zero host round-trips). ServingEngine is only the right "
+                "choice for ONLINE streaming arrivals on a directly-attached "
+                "chip. Pass suppress_dispatch_warning=True to acknowledge.",
+                UserWarning, stacklevel=2)
         self.cfg = cfg
         self.cdt = _dtype(mcfg.compute_dtype)
         self.params = _precast_weights(tts_params, self.cdt)

@@ -30,7 +30,8 @@ class Synthesizer:
         """``mode`` selects the AR decode cache (see decode_greedy).
         Default "auto" applies a measured cost model: kv_lsh_chunk for
         LSH decoders when the prefix dwarfs the ring working set (1.78x
-        at 8k frames; best cached fidelity on trained checkpoints), else
+        at 8k frames; fidelity on par with kv_full — which cached mode
+        wins is checkpoint noise, PARITY.md), else
         kv_full (PARITY.md "Serving parity", BENCH.md).  ``unroll`` runs
         k decoder steps per while_loop trip (block decoding for kv_full:
         same score values, refusion-class output differences; see

@@ -46,11 +46,6 @@ def _self_attention(kind: str, params, x, mask, causal, cfg: ReformerStackConfig
         from rtts.ops.flash_attention import resolve_flash_impl
 
         if cfg.seq_parallel_axis and x.shape[1] > a.chunk_length:
-            if drop_rng is not None:
-                raise NotImplementedError(
-                    "attention_dropout > 0 is not supported on the "
-                    "sequence-parallel full path; set attention_dropout: 0 "
-                    "or seq_parallel_axis: null")
             from rtts.parallel.seq_parallel import (
                 full_self_attention_seq_parallel,
             )
@@ -58,6 +53,7 @@ def _self_attention(kind: str, params, x, mask, causal, cfg: ReformerStackConfig
             out = full_self_attention_seq_parallel(
                 params, x, mask=mask, causal=causal, cfg=a,
                 compute_dtype=compute_dtype, axis=cfg.seq_parallel_axis,
+                dropout_rate=a.attention_dropout, dropout_rng=drop_rng,
             )
             return out, None
         out = shared_qk_self_attention(
@@ -69,13 +65,9 @@ def _self_attention(kind: str, params, x, mask, causal, cfg: ReformerStackConfig
         return out, None
     if kind == "lsh":
         if cfg.seq_parallel_axis and x.shape[1] > a.chunk_length:
-            if drop_rng is not None:
-                raise NotImplementedError(
-                    "attention_dropout > 0 is not supported on the "
-                    "sequence-parallel LSH path; set attention_dropout: 0 "
-                    "or seq_parallel_axis: null")
-            # distributed sequence axis: same hash draw as the single-device
-            # path => identical output (tested); hash recompute in the
+            # distributed sequence axis: same hash draw AND same
+            # position-keyed dropout mask as the single-device path =>
+            # identical output (tested); hash + mask recompute in the
             # reversible backward is deterministic, so no bucket cache
             from rtts.parallel.seq_parallel import (
                 lsh_self_attention_seq_parallel,
@@ -85,6 +77,7 @@ def _self_attention(kind: str, params, x, mask, causal, cfg: ReformerStackConfig
                 params, x, mask=mask, causal=causal, cfg=a, rng=rng,
                 compute_dtype=compute_dtype, axis=cfg.seq_parallel_axis,
                 exchange=cfg.seq_parallel_exchange,
+                deterministic=deterministic,
             )
             return out, None
         from rtts.attention.lsh import lsh_self_attention

@@ -85,10 +85,14 @@ def lsh_attention_seq_parallel(
     mesh: Mesh,
     axis: str = "model",
     exchange: str = "allgather",
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """Sequence-parallel LSH self-attention. Returns (B, H, L, d) sharded
     like qk.  Rotations must be passed explicitly (all devices must hash
-    identically)."""
+    identically).  ``dropout_rate``/``dropout_rng`` apply the position-keyed
+    attention-probs dropout — identical mask to the single-device
+    ``lsh_attention_core`` from the same rng (see ``positional_dropout``)."""
     if exchange not in ("allgather", "ring"):
         raise ValueError(f"unknown exchange {exchange!r}")
     n_dev = mesh.shape[axis]
@@ -105,7 +109,9 @@ def lsh_attention_seq_parallel(
             f"nh*L ({nh * l}) must divide into chunks of {c} across "
             f"{n_dev} devices")
 
-    def local_fn(qk_l, v_l, mask_l):
+    drop_active = dropout_rng is not None and dropout_rate > 0.0
+
+    def local_fn(qk_l, v_l, mask_l, drop_seed):
         # qk_l: (B, H, L/n, d) local shard
         rank = jax.lax.axis_index(axis)
         shard = l // n_dev
@@ -171,7 +177,10 @@ def lsh_attention_seq_parallel(
 
         out_c, lse_c = _attend_window(
             q_my, k_my, v_my, pos_q_my, pos_k_my, val_k_my, causal,
-            before, after, cfg.mask_value, cfg.self_mask_value)
+            before, after, cfg.mask_value, cfg.self_mask_value,
+            dropout_rate=dropout_rate,
+            dropout_seed=drop_seed if drop_active else None,
+            chunk_lo=lo, chunks_per_round=l // c)
         # out_c: (B,H,ncl,c,d) for sorted slots [lo*c, (lo+ncl)*c)
 
         # return to sequence order: my sequence shard needs, per round, the
@@ -210,14 +219,20 @@ def lsh_attention_seq_parallel(
 
     if mask is None:
         mask = jnp.ones((b, l), bool)
+    if drop_active:
+        from rtts.ops.flash_attention import dropout_seed_from_key
+
+        seed = dropout_seed_from_key(dropout_rng)
+    else:
+        seed = jnp.zeros((), jnp.uint32)
     fn = jax.shard_map(
         local_fn, mesh=mesh,
         in_specs=(P(None, None, axis, None), P(None, None, axis, None),
-                  P(None, axis)),
+                  P(None, axis), P()),
         out_specs=P(None, None, axis, None),
         check_vma=False,
     )
-    return fn(qk, v, mask)
+    return fn(qk, v, mask, seed)
 
 
 def full_self_attention_seq_parallel(
@@ -229,6 +244,8 @@ def full_self_attention_seq_parallel(
     compute_dtype=None,
     mesh: Optional[Mesh] = None,
     axis: str = "model",
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """Sequence-parallel shared-QK FULL attention: drop-in for
     ``shared_qk_self_attention`` when the stack's ``seq_parallel_axis`` is
@@ -244,7 +261,15 @@ def full_self_attention_seq_parallel(
     q-block decomposition is the same one the single-device call uses,
     making outputs bit-identical, and the naive fallback matches to f32
     reduction tolerance.  Attention FLOPs and the O(shard * L) score
-    transient both split n ways."""
+    transient both split n ways.
+
+    ``dropout_rate``/``dropout_rng`` apply attention-probs dropout.  The
+    counter-hash mask keys on GLOBAL (q_offset + row, col), so each shard
+    regenerates exactly the mask the single-device FLASH sublayer draws
+    from the same rng — flash-vs-flash stays bit-identical at p > 0.  The
+    naive fallback here uses the same counter-hash draw (not the
+    single-device naive path's bernoulli sample — a different, equally
+    valid sample), keeping the mask sharding-invariant."""
     if mesh is None:
         from rtts.parallel.mesh import current_mesh
 
@@ -266,7 +291,9 @@ def full_self_attention_seq_parallel(
     d = qk.shape[-1]
     shard = l // n_dev
 
-    def local_fn(qk_l, v_l, mask_l):
+    drop_active = dropout_rng is not None and dropout_rate > 0.0
+
+    def local_fn(qk_l, v_l, mask_l, drop_seed):
         rank = jax.lax.axis_index(axis)
         # per-row ops commute with the shard: normalize locally, gather once
         k_g = jax.lax.all_gather(_len_norm(qk_l) * (d ** -0.5), axis,
@@ -279,7 +306,11 @@ def full_self_attention_seq_parallel(
 
             return flash_attend(qk_l, k_g, v_g, kv_mask=mask_g,
                                 causal=causal, self_mask=True, sm_scale=1.0,
-                                q_offset=q_off)
+                                q_offset=q_off,
+                                dropout_rate=(dropout_rate if drop_active
+                                              else 0.0),
+                                dropout_seed=(drop_seed if drop_active
+                                              else None))
         from rtts.attention.full import shared_qk_scores_mask
 
         scores = jnp.einsum("bhqd,bhkd->bhqk", qk_l, k_g).astype(jnp.float32)
@@ -289,18 +320,32 @@ def full_self_attention_seq_parallel(
             scores, q_pos[None, None, :], k_pos[None, None, :],
             mask_g[:, None, :], causal)
         probs = jax.nn.softmax(scores, axis=-1)
+        if drop_active:
+            from rtts.ops.flash_attention import dropout_keep_mask
+
+            bh = qk_l.shape[0] * qk_l.shape[1]
+            keep = dropout_keep_mask(drop_seed, bh, shard, l, dropout_rate,
+                                     q_offset=q_off)
+            probs = probs * (keep.reshape(probs.shape).astype(probs.dtype)
+                             / (1.0 - dropout_rate))
         return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v_g.dtype), v_g)
 
     if mask is None:
         mask = jnp.ones((b, l), bool)
+    if drop_active:
+        from rtts.ops.flash_attention import dropout_seed_from_key
+
+        seed = dropout_seed_from_key(dropout_rng)
+    else:
+        seed = jnp.zeros((), jnp.uint32)
     fn = jax.shard_map(
         local_fn, mesh=mesh,
         in_specs=(P(None, None, axis, None), P(None, None, axis, None),
-                  P(None, axis)),
+                  P(None, axis), P()),
         out_specs=P(None, None, axis, None),
         check_vma=False,
     )
-    out = fn(qk, v, mask)
+    out = fn(qk, v, mask, seed)
     return dense(params["w_o"], _merge_heads(out), compute_dtype)
 
 
@@ -315,11 +360,15 @@ def lsh_self_attention_seq_parallel(
     mesh: Optional[Mesh] = None,
     axis: str = "model",
     exchange: str = "allgather",
+    deterministic: bool = True,
 ) -> jnp.ndarray:
     """Sequence-parallel drop-in for ``lsh_self_attention`` (same hash
     draw -> same output as the single-device sublayer).  Requires an
     active or explicit Mesh; the sequence axis is shard_map'd over
-    ``axis``."""
+    ``axis``.  ``deterministic=False`` with ``cfg.attention_dropout > 0``
+    applies the position-keyed attention-probs dropout — the drop key
+    derives from the CALLER rng exactly like the single-device sublayer
+    (before any hash_seed override), so outputs match it at p > 0 too."""
     if mesh is None:
         from rtts.parallel.mesh import current_mesh
 
@@ -328,6 +377,10 @@ def lsh_self_attention_seq_parallel(
         raise ValueError(
             f"seq-parallel attention needs a Mesh with axis {axis!r}; "
             f"enter one (`with mesh:`) or pass mesh= explicitly")
+    drop_rng = (jax.random.fold_in(rng, 7)
+                if (rng is not None and not deterministic
+                    and cfg.attention_dropout > 0.0)
+                else None)
     if rng is None:
         rng = jax.random.PRNGKey(0)
     if cfg.hash_seed is not None:
@@ -349,17 +402,27 @@ def lsh_self_attention_seq_parallel(
     qk = _split_heads(dense(params["w_qk"], x, compute_dtype), cfg.num_heads)
     v = _split_heads(dense(params["w_v"], x, compute_dtype), cfg.num_heads)
     out = lsh_attention_seq_parallel(qk, v, cfg, mask, causal, rotations,
-                                     mesh, axis=axis, exchange=exchange)
+                                     mesh, axis=axis, exchange=exchange,
+                                     dropout_rate=cfg.attention_dropout,
+                                     dropout_rng=drop_rng)
     return dense(params["w_o"], _merge_heads(out), compute_dtype)
 
 
 def _attend_window(q_my, k_pad, v_pad, pos_q, pos_k_pad, val_pad, causal,
-                   before, after, mask_value, self_mask_value):
+                   before, after, mask_value, self_mask_value,
+                   dropout_rate=0.0, dropout_seed=None, chunk_lo=None,
+                   chunks_per_round=None):
     """Attend my chunks against their neighbor windows.
 
     q_my: (B,H,ncl,c,d); k_pad etc: (B,H,ncl+before+after,c,d) — chunk i of
     q_my attends chunks [i, i+before+after] of the padded arrays (which are
-    [i-before, ..., i, ..., i+after] in global chunk coordinates)."""
+    [i-before, ..., i, ..., i+after] in global chunk coordinates).
+
+    ``dropout_rate``/``dropout_seed`` (uint32 scalar) apply the
+    position-keyed attention-probs dropout of ``lsh_attend_chunks``: the
+    counter-hash keys on GLOBAL chunk index (``chunk_lo + i``, traced rank
+    offset) and original positions, so every device regenerates exactly the
+    single-device mask."""
     b, h, ncl, c, d = q_my.shape
     w = before + after + 1
     # build the key windows by stacking shifted slices (static shifts)
@@ -379,5 +442,12 @@ def _attend_window(q_my, k_pad, v_pad, pos_q, pos_k_pad, val_pad, causal,
                        self_mask_value, scores)
     lse = jax.nn.logsumexp(scores, axis=-1)
     probs = jnp.exp(scores - lse[..., None])
+    if dropout_seed is not None and dropout_rate > 0.0:
+        from rtts.attention.lsh import dropout_lane, positional_dropout
+
+        lane = dropout_lane(b, h, chunk_lo + jnp.arange(ncl),
+                            chunks_per_round)
+        probs = positional_dropout(probs, pos_q, pk, lane, dropout_seed,
+                                   dropout_rate)
     out = jnp.einsum("bhnqk,bhnkd->bhnqd", probs.astype(vs.dtype), vs)
     return out, lse

@@ -16,6 +16,12 @@ Multi-host note: preemption signals every host of a slice; each process
 polls its own flag, and all of them leave the (collective-free) Python
 loop at the same step boundary, so no collective is left half-joined.
 Only process 0 performs the checkpoint IO, same as every other save.
+
+Operator caveat: a MANUAL SIGINT/SIGTERM delivered to only ONE host of a
+multi-host job makes that process break out of the SPMD loop while its
+peers keep issuing collectives — the job then hangs until hard-killed.
+Always signal every host (``scripts/run_multihost.sh`` kill does), or
+use ``request_stop()`` behind your own cross-host agreement.
 """
 
 from __future__ import annotations
@@ -50,7 +56,10 @@ class GracefulStop:
 
     def __exit__(self, *exc) -> bool:
         for sig, prev in self._prev.items():
-            signal.signal(sig, prev)
+            # signal.signal returns None when the prior handler was installed
+            # from C (embedded interpreters) — restore SIG_DFL then, same as
+            # _handle's fallback
+            signal.signal(sig, prev if prev is not None else signal.SIG_DFL)
         self._prev.clear()
         return False
 
@@ -59,7 +68,8 @@ class GracefulStop:
         if self._event.is_set():
             # second signal: put the original handler back and re-deliver,
             # so "twice" means whatever it meant before this context
-            signal.signal(signum, self._prev.get(signum, signal.SIG_DFL))
+            prev = self._prev.get(signum)
+            signal.signal(signum, prev if prev is not None else signal.SIG_DFL)
             signal.raise_signal(signum)
             return
         self._event.set()

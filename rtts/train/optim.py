@@ -34,7 +34,10 @@ def lr_at_step(cfg: OptimConfig, step: int) -> float:
 
     With gradient accumulation the inner chain (and so the schedule's
     update counter) advances once per ``accumulate_steps`` micro-batches,
-    which is exactly how ``optax.MultiSteps`` counts it."""
+    which is exactly how ``optax.MultiSteps`` counts it.  At micro-steps
+    in between this reports the lr of the cycle's UPCOMING inner update
+    (forward-looking): the rate the gradient being accumulated right now
+    will be applied at, not the last one already applied."""
     sched = make_schedule(cfg)
     if not callable(sched):
         return float(sched)

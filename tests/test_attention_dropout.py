@@ -196,24 +196,26 @@ def test_model_dropout_changes_loss():
     assert lp != l0
 
 
-def test_seq_parallel_rejects_attention_dropout():
-    from rtts.models.stack import make_stack_layer_fns
+def test_positional_dropout_statistics_and_scaling():
+    """The counter-hash keep mask drops ~rate of entries and the survivors
+    scale by 1/keep — mean is preserved in expectation."""
+    from rtts.attention.lsh import dropout_lane, positional_dropout
 
-    att = AttentionConfig(kind="lsh", num_heads=2, head_dim=16,
-                          chunk_length=16, attention_dropout=0.5)
-    cfg = ReformerStackConfig(num_layers=1, d_model=32, d_ff=64,
-                              attention=att, seq_parallel_axis="data",
-                              causal=False, dropout=0.0)
-    (f, _g), = make_stack_layer_fns(cfg, cross_attend=False,
-                                    deterministic=False,
-                                    compute_dtype=jnp.float32)
-    params = {"f": {"ln": {"scale": jnp.ones(32), "bias": jnp.zeros(32)},
-                    "attn": None}}
-    x = jnp.zeros((1, 64, 32))
-    aux = {"mask": None, "memory_mask": None,
-           "rng_f": jax.random.PRNGKey(0), "rng_g": jax.random.PRNGKey(1)}
-    with pytest.raises(NotImplementedError):
-        f(params["f"], x, None, aux, None)
+    rate = 0.3
+    b, h, nc, c, w = 2, 2, 4, 32, 64
+    probs = jnp.ones((b, h, nc, c, w))
+    q_pos = jnp.arange(nc * c).reshape(1, 1, nc, c) * jnp.ones(
+        (b, h, 1, 1), jnp.int32)
+    k_pos = jnp.arange(nc * w).reshape(1, 1, nc, w) * jnp.ones(
+        (b, h, 1, 1), jnp.int32)
+    lane = dropout_lane(b, h, jnp.arange(nc), nc)
+    out = np.asarray(positional_dropout(
+        probs, q_pos, k_pos, lane, jnp.uint32(1234), rate))
+    vals = np.unique(out)
+    assert all(v == 0.0 or abs(v - 1.0 / (1.0 - rate)) < 1e-5 for v in vals)
+    drop_frac = (out == 0).mean()
+    assert abs(drop_frac - rate) < 0.02
+    assert abs(out.mean() - 1.0) < 0.05
 
 
 def test_lsh_dropout_with_explicit_attend_fn_forces_jnp_stage():

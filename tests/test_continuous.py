@@ -49,6 +49,7 @@ def _engine(cfg, params, **kw):
     kw.setdefault("capacity_frames", 64)
     kw.setdefault("segment_frames", 16)
     kw.setdefault("token_len", TOKEN_LEN)
+    kw.setdefault("suppress_dispatch_warning", True)
     return ServingEngine(cfg, params, **kw)
 
 
@@ -264,6 +265,22 @@ def test_serve_pool_routes_and_matches():
     with _pytest.raises(ValueError):
         serve_pool(params, cfg.model, tokens, masks, [128],
                    class_caps=(32, 64), slots=2)
+
+
+def test_engine_warns_dispatch_bound():
+    """ServingEngine is 0.36x the batch path on dispatch-bound backends
+    (BENCH.md 'continuous'): constructing it without acknowledgement must
+    warn and point at serve_continuous/serve_pool."""
+    import warnings
+
+    cfg = _cfg()
+    params = M.init(jax.random.PRNGKey(0), cfg.model)
+    with pytest.warns(UserWarning, match="serve_pool"):
+        ServingEngine(cfg, params, slots=2, capacity_frames=64,
+                      segment_frames=16, token_len=TOKEN_LEN)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        _engine(cfg, params)  # suppressed path stays silent
 
 
 def test_shape_validation():

@@ -210,7 +210,85 @@ def test_stack_full_seq_parallel_grads_match():
                                    atol=3e-5, rtol=3e-5)
 
 
-def test_full_seq_parallel_rejects_attention_dropout():
+def test_full_seq_parallel_dropout_matches_single_device_flash():
+    """Attention-probs dropout on the seq-parallel FULL path (VERDICT r3
+    item 3): the counter-hash mask keys on global (q_offset + row, col), so
+    the sharded flash sublayer reproduces the single-device FLASH mask from
+    the same rng; the SP naive fallback draws the SAME counter-hash sample
+    (documented divergence from single-device naive's bernoulli)."""
+    from rtts.attention.full import attention_init, shared_qk_self_attention
+    from rtts.parallel.seq_parallel import full_self_attention_seq_parallel
+
+    mesh = make_mesh(MeshConfig(data_parallel=1, model_parallel=4))
+    b, l, dm, h = 2, 256, 32, 2
+    params = attention_init(jax.random.PRNGKey(0), dm, h, 16, shared_qk=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, l, dm))
+    mask = jnp.arange(l)[None, :] < jnp.asarray([l, l - 40])[:, None]
+    rng = jax.random.PRNGKey(9)
+
+    ref = shared_qk_self_attention(params, x, mask=mask, causal=True,
+                                   num_heads=h, impl="flash",
+                                   dropout_rate=0.4, dropout_rng=rng)
+    for flash in (True, False):
+        cfg = AttentionConfig(kind="full", num_heads=h, head_dim=16,
+                              chunk_length=16, flash=flash,
+                              attention_dropout=0.4)
+        with mesh:
+            out = jax.jit(lambda p, xx, mm: full_self_attention_seq_parallel(
+                p, xx, mm, True, cfg, dropout_rate=0.4, dropout_rng=rng))(
+                    params, x, mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_lsh_seq_parallel_dropout_matches_single_device():
+    """The position-keyed LSH dropout draw is sharding-invariant: the SP
+    stack at attention_dropout > 0 reproduces the single-device stack
+    output AND param grads from the same rng (VERDICT r3 item 3 'done'
+    criterion), both exchanges."""
+    import dataclasses
+
+    from rtts.config import ReformerStackConfig
+    from rtts.models.stack import stack_apply, stack_init
+
+    mesh = make_mesh(MeshConfig(data_parallel=1, model_parallel=8))
+    acfg = AttentionConfig(kind="lsh", num_heads=2, head_dim=16, num_hashes=2,
+                           num_buckets=8, chunk_length=16,
+                           num_chunks_before=1, use_pallas=False,
+                           attention_dropout=0.3)
+    base = ReformerStackConfig(num_layers=2, d_model=32, d_ff=64,
+                               dropout=0.0, reversible=True, causal=True,
+                               attention=acfg, use_pallas_ffn=False)
+    key = jax.random.PRNGKey(3)
+    params = stack_init(key, base, cross_attend=False)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (2, 128, 32))
+    mask = jnp.ones((2, 128), bool)
+
+    def loss(p, cfg):
+        y = stack_apply(p, cfg, x, mask, rng=jax.random.PRNGKey(5),
+                        deterministic=False)
+        return (y ** 2).mean()
+
+    l_ref, g_ref = jax.value_and_grad(lambda p: loss(p, base))(params)
+    # active dropout really engages (loss differs from deterministic)
+    det = stack_apply(params, base, x, mask, rng=jax.random.PRNGKey(5),
+                      deterministic=True)
+    assert float((det ** 2).mean()) != float(l_ref)
+    for exchange in ("allgather", "ring"):
+        sp = dataclasses.replace(base, seq_parallel_axis="model",
+                                 seq_parallel_exchange=exchange)
+        with mesh:
+            l_sp, g_sp = jax.jit(
+                jax.value_and_grad(lambda p: loss(p, sp)))(params)
+        np.testing.assert_allclose(float(l_sp), float(l_ref), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(g_sp), jax.tree.leaves(g_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=3e-5, rtol=3e-5)
+
+
+def test_full_seq_parallel_dropout_grads_match():
+    """Grad parity at p > 0 through the stack on the FULL SP path (flash on
+    both sides so the masks coincide)."""
     import dataclasses
 
     from rtts.config import ReformerStackConfig
@@ -218,13 +296,27 @@ def test_full_seq_parallel_rejects_attention_dropout():
 
     mesh = make_mesh(MeshConfig(data_parallel=1, model_parallel=8))
     acfg = AttentionConfig(kind="full", num_heads=2, head_dim=16,
-                           chunk_length=16, attention_dropout=0.1)
-    sp = ReformerStackConfig(num_layers=1, d_model=32, d_ff=64,
-                             dropout=0.0, reversible=False, causal=True,
-                             attention=acfg, seq_parallel_axis="model")
-    params = stack_init(jax.random.PRNGKey(0), sp, cross_attend=False)
-    x = jax.random.normal(jax.random.PRNGKey(1), (1, 128, 32))
+                           chunk_length=16, flash=True,
+                           attention_dropout=0.25)
+    base = ReformerStackConfig(num_layers=2, d_model=32, d_ff=64,
+                               dropout=0.0, reversible=True, causal=True,
+                               attention=acfg, use_pallas_ffn=False)
+    sp = dataclasses.replace(base, seq_parallel_axis="model")
+    key = jax.random.PRNGKey(4)
+    params = stack_init(key, base, cross_attend=False)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (2, 128, 32))
+    mask = jnp.ones((2, 128), bool)
+
+    def loss(p, cfg):
+        y = stack_apply(p, cfg, x, mask, rng=jax.random.PRNGKey(5),
+                        deterministic=False)
+        return (y ** 2).mean()
+
+    l_ref, g_ref = jax.value_and_grad(lambda p: loss(p, base))(params)
     with mesh:
-        with pytest.raises(NotImplementedError, match="seq"):
-            stack_apply(params, sp, x, jnp.ones((1, 128), bool),
-                        rng=jax.random.PRNGKey(2), deterministic=False)
+        l_sp, g_sp = jax.jit(
+            jax.value_and_grad(lambda p: loss(p, sp)))(params)
+    np.testing.assert_allclose(float(l_sp), float(l_ref), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_sp), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=3e-5)
