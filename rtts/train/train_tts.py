@@ -72,6 +72,14 @@ def make_eval_step(model_cfg):
         _, metrics = tts_loss(pre, post, stop, batch["mel"],
                               make_stop_target(batch["mel_mask"]),
                               batch["mel_mask"], model_cfg.stop_pos_weight)
+        # objective quality scalars (SURVEY.md §6.5 / VERDICT r3 item 6):
+        # spectral fidelity + teacher-forced stop-timing accuracy
+        from rtts.train.quality import mel_cepstral_distortion, stop_length_mae
+
+        metrics["mcd"] = mel_cepstral_distortion(post, batch["mel"],
+                                                 batch["mel_mask"])
+        metrics["stop_len_mae"] = stop_length_mae(
+            stop, batch["mel_mask"], model_cfg.stop_threshold)
         return metrics, post
 
     return eval_step
@@ -269,6 +277,33 @@ def _run_eval(cfg, model_cfg, eval_step, params, val_ds, mesh, work,
             batch_example = batch
     out = {k: v / max(n, 1) for k, v in agg.items()}
 
+    # alignment quality scalars from the exact teacher-forced replay
+    # (VERDICT r3 item 6) — batch-averaged over the first eval batch
+    align = None
+    if post_example is not None:
+        try:
+            from rtts.infer.diagnostics import alignment_map
+            from rtts.train.quality import attention_diagonality
+
+            align = np.asarray(alignment_map(
+                params, model_cfg, jnp.asarray(batch_example["tokens"]),
+                jnp.asarray(batch_example["token_mask"]),
+                jnp.asarray(batch_example["mel"]),
+                jnp.asarray(batch_example["mel_mask"])))
+            r = model_cfg.reduction_factor
+            diags, focuses = [], []
+            for i in range(align.shape[0]):
+                d, f = attention_diagonality(
+                    align[i],
+                    int(batch_example["mel_mask"][i].sum()) // max(r, 1),
+                    int(batch_example["token_mask"][i].sum()))
+                diags.append(d)
+                focuses.append(f)
+            out["attn_diagonality"] = float(np.mean(diags))
+            out["attn_focus"] = float(np.mean(focuses))
+        except Exception as e:  # scalars must never kill training
+            print(f"alignment quality scalars failed: {e}")
+
     # artifact discipline: predicted-vs-target mel PNG + rendered wav
     if post_example is not None and artifacts:
         try:
@@ -282,17 +317,12 @@ def _run_eval(cfg, model_cfg, eval_step, params, val_ds, mesh, work,
                              target=batch_example["mel"][0][:t_len])
             # alignment diagnostic: head-averaged decoder cross-attention
             from rtts.data.visualize import plot_attention
-            from rtts.infer.diagnostics import alignment_map
 
-            align = np.asarray(alignment_map(
-                params, model_cfg, jnp.asarray(batch_example["tokens"]),
-                jnp.asarray(batch_example["token_mask"]),
-                jnp.asarray(batch_example["mel"]),
-                jnp.asarray(batch_example["mel_mask"])))
-            n_tok = int(batch_example["token_mask"][0].sum())
-            plot_attention(align[0][:, :n_tok],
-                           str(art / f"align_step{step}.png"),
-                           title=f"cross-attention (step {step})")
+            if align is not None:
+                n_tok = int(batch_example["token_mask"][0].sum())
+                plot_attention(align[0][:, :n_tok],
+                               str(art / f"align_step{step}.png"),
+                               title=f"cross-attention (step {step})")
             from rtts.audio.griffin import mel_to_audio
             from rtts.audio.wav import write_wav
 

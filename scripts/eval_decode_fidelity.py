@@ -107,12 +107,21 @@ def main() -> None:
         m = mask[..., None]
         return float(np.abs((a - b) * m).sum() / (m.sum() * a.shape[-1]))
 
+    def mcd(a, b, mask):
+        from rtts.train.quality import mel_cepstral_distortion
+
+        return float(mel_cepstral_distortion(jnp.asarray(a), jnp.asarray(b),
+                                             jnp.asarray(mask)))
+
+    gt_len = gt_mask.sum(1)
     modes = args.modes.split(",")
     results = {}
     ref_mel, ref_len = None, None
     for mode in modes:
         mel, lens = run_mode(mode)
         row = {"mel_l1_vs_gt": l1(mel, mel_gt, gt_mask),
+               "mcd_vs_gt": mcd(mel, mel_gt, gt_mask),
+               "stop_len_mae_vs_gt": float(np.abs(lens - gt_len).mean()),
                "lengths": lens.tolist()}
         if mode == "recompute":
             ref_mel, ref_len = mel, lens
@@ -122,6 +131,8 @@ def main() -> None:
             row["stop_delta_max"] = int(np.abs(lens - ref_len).max())
         results[mode] = row
         print(f"{mode:14s} L1_gt={row['mel_l1_vs_gt']:.4f} "
+              f"MCD_gt={row['mcd_vs_gt']:.3f} "
+              f"stopMAE_gt={row['stop_len_mae_vs_gt']:.1f} "
               + (f"L1_rec={row.get('mel_l1_vs_recompute'):.4f} "
                  f"stopD={row.get('stop_delta_max')}"
                  if "mel_l1_vs_recompute" in row else ""))

@@ -80,6 +80,12 @@ def test_train_tts_runs_and_resumes(prepared, tmp_path):
     lines = [json.loads(l) for l in open(work / "metrics.jsonl")]
     assert any("train/loss" in l for l in lines)
     assert any("val/loss" in l for l in lines)
+    # objective quality scalars ride every eval (VERDICT r3 item 6)
+    val = next(l for l in lines if "val/loss" in l)
+    for key in ("val/mcd", "val/stop_len_mae", "val/attn_diagonality",
+                "val/attn_focus"):
+        assert key in val and np.isfinite(val[key]), (key, val)
+    assert 0.0 <= val["val/attn_diagonality"] <= 1.0
     # checkpoint exists; resume continues from step 4
     ckpts = list((work / "checkpoints").glob("step_*"))
     assert ckpts
