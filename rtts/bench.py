@@ -20,7 +20,7 @@ import dataclasses
 import functools
 import json
 import time
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -648,6 +648,143 @@ def bench_continuous(cfg: Optional[Config] = None, repeats: int = 3,
     }
 
 
+def bench_latency(cfg: Optional[Config] = None,
+                  concurrency: Tuple[int, ...] = (1, 8, 32),
+                  repeats: int = 3,
+                  chunk_sweep: Tuple[int, ...] = (32, 64, 128),
+                  max_frames: int = 512) -> Dict[str, Any]:
+    """Per-request latency + time-to-first-audio (VERDICT r3 item 2).
+
+    Every other serving number in this file is aggregate throughput; this
+    one measures what a WAITING caller sees:
+
+    - ``batch`` / ``pool``: one fused computation returns every request
+      together, so each request's latency IS the call wall time — reported
+      per concurrency level (mixed true lengths 128/256/512, stop pinned).
+    - ``engine``: the host-driven ServingEngine completes requests at
+      segment boundaries — the only path with a real per-request latency
+      DISTRIBUTION; p50/p95 over the request completion times.  (Its
+      aggregate throughput is 0.36x the fused path on this dispatch-bound
+      backend — bench_continuous — but short requests finish early instead
+      of waiting for the whole batch.)
+    - ``streaming``: StreamingSynthesizer time-to-first-audio per
+      chunk_frames (batch 1) — the latency the streaming surface exists
+      for, and the evidence for its chunk-size default: TTFA grows with
+      the chunk (more decode before the first vocode) while tiny chunks
+      pay per-segment dispatch; the sweep shows the knee.
+    """
+    from rtts.infer.serving import ServingEngine, serve_pool
+    from rtts.infer.streaming import StreamingSynthesizer
+    from rtts.models import reformer_tts as M
+    from rtts.models import squeezewave as SW
+
+    cfg = cfg or base_bench_config()
+    params = _serving_params(cfg, _build(cfg))
+    voc_params = SW.fold_weightnorm(
+        SW.init(jax.random.PRNGKey(2), cfg.vocoder))
+    token_len = 64
+    lengths_pool = [128, 256, 512]
+    hop = cfg.vocoder.hop_length
+    sr = cfg.dataset.audio.sample_rate
+    from rtts.infer.decode import decode_greedy
+
+    @functools.partial(jax.jit, static_argnames=("mf",))
+    def run_batch(p, tok, msk, mf):
+        memory = M.encode(p, cfg.model, tok, msk, deterministic=True)
+        return decode_greedy(p, cfg.model, memory, msk, max_frames=mf,
+                             stop_threshold=2.0)
+
+    per_n: Dict[str, Any] = {}
+    for n in concurrency:
+        lens = [lengths_pool[i % len(lengths_pool)] for i in range(n)]
+        tokens = np.asarray(jax.random.randint(
+            jax.random.PRNGKey(1), (n, token_len), 3, cfg.model.vocab_size),
+            np.int32)
+        masks = np.ones((n, token_len), bool)
+
+        # batch (pad-to-max): everyone waits for max_frames
+        _sync(run_batch(params, tokens, masks, max_frames))
+        tb = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            _sync(run_batch(params, tokens, masks, max_frames))
+            tb.append(time.perf_counter() - t0)
+
+        # pool (fused continuous batching): everyone waits for the call
+        def run_p():
+            t0 = time.perf_counter()
+            mels, out_lens = serve_pool(
+                params, cfg.model, tokens, masks, lens,
+                class_caps=(128, 256, 512), slots=min(8, n),
+                stop_threshold=2.0, rng=jax.random.PRNGKey(0))
+            _sync(mels[0])
+            return time.perf_counter() - t0
+
+        run_p()
+        tp = [run_p() for _ in range(repeats)]
+
+        # engine: per-request completion latency distribution
+        eng = ServingEngine(cfg, params, slots=min(8, n),
+                            capacity_frames=max_frames, segment_frames=64,
+                            token_len=token_len, stop_threshold=2.0,
+                            suppress_dispatch_warning=True)
+
+        def run_e():
+            eng.reset()
+            ids = [eng.submit_tokens(tokens[i:i + 1], masks[i:i + 1],
+                                     budget_frames=lens[i])
+                   for i in range(n)]
+            done_t: Dict[int, float] = {}
+            t0 = time.perf_counter()
+            while len(done_t) < n:
+                for rid in eng.step():
+                    done_t[rid] = time.perf_counter() - t0
+            return np.asarray([done_t[rid] for rid in ids])
+
+        run_e()
+        lats = np.stack([run_e() for _ in range(repeats)])
+        best = lats.min(axis=0)   # per-request best-of-repeats
+        per_n[str(n)] = {
+            "lengths": lens,
+            "batch_latency_s": min(tb),
+            "pool_latency_s": min(tp),
+            "engine_p50_s": float(np.percentile(best, 50)),
+            "engine_p95_s": float(np.percentile(best, 95)),
+            "engine_drain_s": float(best.max()),
+        }
+
+    # streaming TTFA sweep (batch 1, the latency-critical case)
+    ss = StreamingSynthesizer(cfg, params, voc_params,
+                              max_frames=max_frames)
+    text = ["speech synthesis latency probe sentence"]
+    streaming: Dict[str, Any] = {}
+    for ch in chunk_sweep:
+        ttfa, total, chunks = [], [], 0
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            first = None
+            chunks = 0
+            for audio in ss.stream(text, chunk_frames=ch, seed=0):
+                if first is None:
+                    first = time.perf_counter() - t0
+                chunks += 1
+            ttfa.append(first)
+            total.append(time.perf_counter() - t0)
+        streaming[str(ch)] = {
+            "ttfa_s": min(ttfa),
+            "total_s": min(total),
+            "n_chunks": chunks,
+            # how far ahead of real time the first chunk lands
+            "first_chunk_audio_s": ch * hop / sr,
+        }
+    return {
+        "per_concurrency": per_n,
+        "streaming_ttfa": streaming,
+        "max_frames": max_frames,
+        "device": str(jax.devices()[0]),
+    }
+
+
 def bench_vocoder(cfg: Optional[Config] = None, batch: int = 8,
                   mel_frames: int = 512, repeats: int = 3) -> Dict[str, Any]:
     from rtts.models import squeezewave as SW
@@ -1004,6 +1141,16 @@ def run_bench(cfg: Optional[Config] = None, which: str = "e2e") -> str:
                 "value": round(r["fused_speedup_vs_sync_arrival"], 4),
                 "unit": "x",
                 "vs_baseline": round(r["fused_speedup_vs_sync_arrival"], 4),
+                "detail": r}
+    elif which == "latency":
+        r = bench_latency(cfg)
+        ttfa = r["streaming_ttfa"].get("64") or next(
+            iter(r["streaming_ttfa"].values()))
+        line = {"metric": "streaming_time_to_first_audio_s",
+                "value": round(ttfa["ttfa_s"], 4), "unit": "s",
+                # >1: the first chunk lands ahead of its own audio duration
+                "vs_baseline": round(
+                    ttfa["first_chunk_audio_s"] / ttfa["ttfa_s"], 4),
                 "detail": r}
     elif which == "kernels":
         r = bench_kernels()

@@ -276,7 +276,7 @@ def serve(cfg: Config, texts_file, text, tts_ckpt, vocoder_ckpt, out_dir,
               type=click.Choice(["decode", "e2e", "vocoder", "train",
                                  "vocoder_train",
                                  "longform", "serving", "continuous",
-                                 "kernels", "all"]))
+                                 "latency", "kernels", "all"]))
 @click.pass_obj
 def bench(cfg: Config, which):
     """Run the benchmark harness and print JSON line(s)."""
@@ -286,7 +286,7 @@ def bench(cfg: Config, which):
     enable_compilation_cache()
     modes = (["decode", "e2e", "vocoder", "train", "vocoder_train",
               "longform", "serving",
-              "continuous", "kernels"]
+              "continuous", "latency", "kernels"]
              if which == "all" else [which])
     for m in modes:
         click.echo(run_bench(cfg, m))

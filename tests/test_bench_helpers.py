@@ -83,3 +83,43 @@ def test_staged_flops_affine_interpolation_is_exact():
     slope = (f256 - f64) / (256 - 64)
     predicted_mid = f64 + slope * (128 - 64)
     assert abs(predicted_mid - f128) <= 1e-6 * f128, (predicted_mid, f128)
+
+
+def test_bench_latency_smoke():
+    """bench --which latency shape contract on a tiny CPU config: per-
+    concurrency rows with batch/pool wall latency + engine p50/p95, and a
+    streaming TTFA sweep entry per chunk size."""
+    from rtts.bench import bench_latency
+    from rtts.config import Config, from_dict
+    from rtts.text import vocab_size
+
+    cfg = from_dict(Config, {
+        "model": {"vocab_size": vocab_size(), "d_model": 32, "n_mels": 20,
+                  "dec_prenet_hidden": 32, "max_pos": 512,
+                  "compute_dtype": "float32",
+                  "encoder": {"num_layers": 1, "d_model": 32, "d_ff": 64,
+                              "causal": False,
+                              "attention": {"kind": "full", "num_heads": 2,
+                                            "head_dim": 16,
+                                            "chunk_length": 16}},
+                  "decoder": {"num_layers": 1, "d_model": 32, "d_ff": 64,
+                              "causal": True,
+                              "attention": {"kind": "full", "num_heads": 2,
+                                            "head_dim": 16,
+                                            "chunk_length": 16}}},
+        "dataset": {"audio": {"n_mels": 20}},
+        "vocoder": {"n_mels": 20, "n_flows": 2, "n_group": 16,
+                    "n_early_every": 4, "n_early_size": 4, "wn_layers": 2,
+                    "wn_channels": 16, "hop_length": 16,
+                    "audio_segment_length": 256},
+    })
+    r = bench_latency(cfg, concurrency=(2,), repeats=1, chunk_sweep=(32,),
+                      max_frames=64)
+    row = r["per_concurrency"]["2"]
+    for key in ("batch_latency_s", "pool_latency_s", "engine_p50_s",
+                "engine_p95_s", "engine_drain_s"):
+        assert row[key] > 0
+    assert row["engine_p50_s"] <= row["engine_p95_s"] <= row["engine_drain_s"]
+    st = r["streaming_ttfa"]["32"]
+    assert 0 < st["ttfa_s"] <= st["total_s"]
+    assert st["n_chunks"] >= 1
