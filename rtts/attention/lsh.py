@@ -33,6 +33,7 @@ Complexity: O(L * n_hashes * chunk * (1 + before + after)) vs O(L^2).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -117,20 +118,84 @@ def hash_vectors(
 
 
 def _sort_by_bucket(buckets: jnp.ndarray
-                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """buckets (B,H,nh,L) -> (sorted_pos, undo_idx), both (B,H,nh,L).
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """buckets (B,H,nh,L) -> (sorted_pos, undo_idx, sorted_buckets), all
+    (B,H,nh,L).
 
-    Per round: argsort of the unique key ``bucket * L + position`` — this IS
+    Per round: sort by the unique key ``bucket * L + position`` — this IS
     the stable sort (ties broken by original position, reference semantics).
     sorted_pos[..., s] = original position of sorted slot s; undo_idx is the
     inverse permutation (unsort is a gather by it — no scatter on TPU).
-    """
+
+    ``sorted_buckets`` rides the SAME lax.sort (keys + iota payload — what
+    argsort lowers to anyway, so this is free): slot s's bucket id.  Callers
+    derive key validity from it (overflow bucket == padding, hash_vectors)
+    instead of paying a separate width-1 mask gather — row gathers on this
+    backend are transaction-bound, so a width-1 gather costs as much as the
+    width-128 payload gather (BENCH.md r4 "gather fusion")."""
     l = buckets.shape[-1]
     pos = jnp.arange(l, dtype=jnp.int32)
     keys = buckets * l + pos[None, None, None, :]
-    sorted_pos = jnp.argsort(keys, axis=-1).astype(jnp.int32)
+    pos_b = jnp.broadcast_to(pos, keys.shape)
+    sorted_keys, sorted_pos = jax.lax.sort((keys, pos_b), dimension=-1,
+                                           num_keys=1)
     undo_idx = jnp.argsort(sorted_pos, axis=-1).astype(jnp.int32)
-    return sorted_pos, undo_idx
+    return sorted_pos, undo_idx, sorted_keys // l
+
+
+@jax.custom_vjp
+def _perm_rows_take(x: jnp.ndarray, idx: jnp.ndarray,
+                    inv: jnp.ndarray) -> jnp.ndarray:
+    """Gather rows of x (BH, L, W) into per-round sorted order:
+    out[b, r*L + s] = x[b, idx[b, r, s]] — i.e. take_along_axis with the
+    flattened (BH, nh*L) index — but with a PERMUTATION-AWARE backward.
+
+    XLA differentiates take_along_axis into a scatter-add (it cannot know
+    the indices are bijective per round); since each round's idx row IS a
+    permutation of [0, L), the cotangent is exactly the inverse gather:
+    dx[b, j] = sum_r g[b, r, inv[b, r, j]].  Gathers beat scatters on this
+    backend (BENCH.md r4 "gather fusion"), and the rule is exact — every
+    source row receives exactly nh cotangent rows.
+
+    idx, inv: (BH, nh, L) int32 with inv[b, r] = argsort(idx[b, r])."""
+    bh, nh, l = idx.shape
+    return jnp.take_along_axis(x, idx.reshape(bh, nh * l)[..., None], axis=1)
+
+
+def _perm_rows_take_fwd(x, idx, inv):
+    return _perm_rows_take(x, idx, inv), (idx, inv)
+
+
+def _perm_rows_take_bwd(res, g):
+    idx, inv = res
+    bh, nh, l = idx.shape
+    gr = g.reshape(bh, nh, l, g.shape[-1])
+    dx = jnp.take_along_axis(gr, inv[..., None], axis=2).sum(axis=1)
+    return dx, None, None
+
+
+_perm_rows_take.defvjp(_perm_rows_take_fwd, _perm_rows_take_bwd)
+
+
+@jax.custom_vjp
+def _perm_round_take(x: jnp.ndarray, idx: jnp.ndarray,
+                     inv: jnp.ndarray) -> jnp.ndarray:
+    """Within-round row permutation on (B, H, nh, L, W):
+    out[..., r, s, :] = x[..., r, idx[..., r, s], :], with the
+    inverse-gather backward (see _perm_rows_take)."""
+    return jnp.take_along_axis(x, idx[..., None], axis=3)
+
+
+def _perm_round_take_fwd(x, idx, inv):
+    return _perm_round_take(x, idx, inv), (idx, inv)
+
+
+def _perm_round_take_bwd(res, g):
+    idx, inv = res
+    return jnp.take_along_axis(g, inv[..., None], axis=3), None, None
+
+
+_perm_round_take.defvjp(_perm_round_take_fwd, _perm_round_take_bwd)
 
 
 def _look_adjacent(x: jnp.ndarray, before: int, after: int) -> jnp.ndarray:
@@ -322,7 +387,7 @@ def lsh_attention_core(
     if buckets is None:
         buckets = hash_vectors(qk, nb, nh, rng, mask)            # (B,H,nh,L)
 
-    sorted_pos, undo_idx = _sort_by_bucket(buckets)              # (B,H,nh,L)
+    sorted_pos, undo_idx, sorted_buckets = _sort_by_bucket(buckets)
 
     # gather q/k/v into per-round sorted order: (B,H,nh,L,d).
     # qk and v ride ONE packed operand (halves the per-row gather count);
@@ -339,12 +404,17 @@ def lsh_attention_core(
               ).astype(packed.dtype)
         g = jnp.einsum("bsl,blw->bsw", oh, packed)
     else:
-        g = jnp.take_along_axis(packed, idx[..., None], axis=1)
+        # permutation-aware take: backward is the inverse-round gather,
+        # not XLA's scatter-add (BENCH.md r4 "gather fusion")
+        g = _perm_rows_take(packed, sorted_pos.reshape(bh, nh, l),
+                            undo_idx.reshape(bh, nh, l))
     g = g.reshape(b, h, nh, l, 2 * d)
     qk_s, v_s = g[..., :d], g[..., d:]
     if mask is not None:
-        mb = jnp.broadcast_to(mask[:, None, None, :], (b, h, nh, l))
-        valid_s = jnp.take_along_axis(mb, sorted_pos, axis=3)
+        # hash_vectors forced padding tokens into the overflow bucket, so
+        # slot validity falls out of the sort itself — no mask gather
+        # (width-1 row gathers cost as much as the payload gather here)
+        valid_s = sorted_buckets < total_buckets(nb)
     else:
         valid_s = jnp.ones((b, h, nh, l), bool)
 
@@ -369,25 +439,37 @@ def lsh_attention_core(
     # cross-framework output parity bit-tight (verified vs HF in tests).
     out_flat = out_c.reshape(b, h, nh, l, d)
     lse_flat = lse_c.reshape(b, h, nh, l)
-    lse_r = jnp.take_along_axis(lse_flat, undo_idx, axis=3)  # f32, width-1
     if mode == "onehot":
         # fold the combine INTO the unsort matmul: weight each sorted slot
         # by its round's (re-sorted) combine weight, then one transposed
         # one-hot einsum sums the nh per-round contributions per position.
+        lse_r = _perm_round_take(lse_flat[..., None], undo_idx,
+                                 sorted_pos)[..., 0]
         if nh == 1:
             weighted = out_flat
         else:
             w = jnp.exp(lse_r - jax.nn.logsumexp(lse_r, axis=2, keepdims=True))
-            w_s = jnp.take_along_axis(w, sorted_pos, axis=3)  # sorted domain
+            w_s = _perm_round_take(w[..., None], sorted_pos,
+                                   undo_idx)[..., 0]   # sorted domain
             weighted = out_flat * w_s.astype(out_flat.dtype)[..., None]
         out = jnp.einsum("bsl,bsd->bld", oh,
                          weighted.reshape(bh, nh * l, d)).reshape(b, h, l, d)
         return out, buckets
-    out_r = jnp.take_along_axis(out_flat, undo_idx[..., None], axis=3)
     if nh == 1:
+        # no combine: unsort the output alone, skip the lse column
+        out_r = _perm_round_take(out_flat, undo_idx, sorted_pos)
         return out_r[:, :, 0], buckets
+    # undo gather fused: (out, lse) ride ONE f32 operand — row gathers here
+    # are transaction-bound, so the separate width-1 lse gather cost as much
+    # as the whole width-d out gather (BENCH.md r4 "gather fusion"); f32
+    # keeps the combine math exactly as before (lse was always f32, and the
+    # combine einsum already ran on f32 weights)
+    fused = jnp.concatenate([out_flat.astype(jnp.float32),
+                             lse_flat[..., None]], axis=-1)
+    got = _perm_round_take(fused, undo_idx, sorted_pos)
+    out_r, lse_r = got[..., :d], got[..., d]
     w = jnp.exp(lse_r - jax.nn.logsumexp(lse_r, axis=2, keepdims=True))
-    out = jnp.einsum("bhnl,bhnld->bhld", w.astype(out_r.dtype), out_r)
+    out = jnp.einsum("bhnl,bhnld->bhld", w, out_r)
     return out, buckets
 
 

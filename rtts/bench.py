@@ -972,7 +972,7 @@ def bench_kernels(repeats: int = 5) -> Dict[str, Any]:
     qk = jax.random.normal(key, (b, h, l, d), jnp.bfloat16)
     buckets = hash_vectors(qk.astype(jnp.float32), nb, nh,
                            jax.random.PRNGKey(1), None)
-    sorted_pos, _ = _sort_by_bucket(buckets)
+    sorted_pos, _, _ = _sort_by_bucket(buckets)
     nc = nh * l // c
 
     def gather(x):

@@ -124,7 +124,7 @@ def lsh_attention_seq_parallel(
         mask_g = (jax.lax.all_gather(mask_l, axis, axis=1, tiled=True)
                   if mask_l is not None else None)
 
-        sorted_pos, undo_idx = _sort_by_bucket(buckets)      # (B,H,nh,L)
+        sorted_pos, undo_idx, sorted_buckets = _sort_by_bucket(buckets)
 
         nc = nh * l // c
         nc_local = nc // n_dev
@@ -168,10 +168,15 @@ def lsh_attention_seq_parallel(
             q_my = qk_need.reshape(b, h, wk, c, d)[:, :, before:before + nc_local]
 
         if mask_g is not None:
-            mb = jnp.broadcast_to(mask_g[:, None, :], (b, h, l))
-            val_k_my = jnp.take_along_axis(
-                mb, pos_k_my.reshape(b, h, -1), axis=2
-            ).reshape(pos_k_my.shape)
+            # validity falls out of the sort: hash_vectors forced padding
+            # into the overflow bucket, so sorted_buckets < nb_total IS the
+            # gathered mask (replaces a transaction-bound width-1 gather —
+            # same trick as lsh_attention_core)
+            from rtts.attention.lsh import total_buckets
+
+            val_c = (sorted_buckets < total_buckets(nb)).reshape(
+                b, h, nc, c)
+            val_k_my = slice_with_neighbors(val_c)
         else:
             val_k_my = jnp.ones(pos_k_my.shape, bool)
 

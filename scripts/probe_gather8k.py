@@ -153,5 +153,384 @@ def main():
               f"({by / t / 1e9:6.1f} GB/s)")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not ({"--fusion", "--core", "--train8k", "--sweep8k"}
+                                   & set(sys.argv)):
     main()
+
+
+# --- follow-up probe: transaction-bound fusion hypothesis --------------------
+# The width sweep shows gather cost is flat in row width => row count is
+# the currency.  The shipped take path spends FOUR gathers per sublayer:
+#   fwd:  packed qk+v (width 128 bf16), validity mask (width 1 bool)
+#   undo: out (width 64 bf16), lse (width 1 f32)
+# Fusions probed here: mask folded into packed (width 129), out+lse packed
+# f32 (width 65) — halving the transaction count at ~unchanged bytes.
+
+def probe_fusion():
+    key = jax.random.PRNGKey(0)
+    packed = jax.random.normal(key, (BH, L, W), jnp.bfloat16)
+    out_like = jax.random.normal(key, (BH, S, D), jnp.bfloat16)
+    lse_like = jax.random.normal(key, (BH, S), jnp.float32)
+    maskcol = (jax.random.uniform(key, (BH, L, 1)) > 0.1)
+    rows = []
+    for i in range(BH):
+        per = [np.random.RandomState(2000 + i * NH + r).permutation(L)
+               for r in range(NH)]
+        rows.append(np.concatenate(per))
+    idx = jnp.asarray(np.stack(rows), jnp.int32)          # (BH, S) sort idx
+    undo = jnp.asarray(np.argsort(np.stack(rows), axis=1)[:, :L], jnp.int32)
+
+    def t(label, fn, x, extra=()):
+        tt = time_loop(fn, x, extra)
+        print(f"  {label:34s} {tt * 1e3:7.2f} ms")
+        return tt
+
+    print("\nfusion probe (row-transaction hypothesis):")
+    # width-1 gathers: the hidden cost
+    def g_mask(p, ix):
+        got = jnp.take_along_axis(maskcol.astype(p.dtype), ix[..., None],
+                                  axis=1)
+        return p + 0.001 * got.reshape(BH, NH, L, 1).sum(axis=1)
+
+    def g_lse(p, ix):
+        got = jnp.take_along_axis(lse_like, ix[:, :L], axis=1)
+        return p + 0.001 * got[..., None].astype(p.dtype)
+
+    t("mask gather width-1 (S rows)", g_mask, packed, (idx,))
+    def g_lse_full(p, ix):
+        got = jnp.take_along_axis(
+            jnp.broadcast_to(lse_like[:, :L], (BH, L)), ix, axis=1)
+        return p + 0.001 * got.reshape(BH, NH, L)[..., None].sum(1).astype(p.dtype)
+    t("lse gather width-1 (S rows)", g_lse_full, packed, (idx,))
+
+    # fused packed+mask (width 129) vs separate
+    pm = jnp.concatenate([packed, maskcol.astype(jnp.bfloat16)], axis=-1)
+
+    def g_pm(p, ix):
+        got = jnp.take_along_axis(p, ix[..., None], axis=1)
+        return p + 0.001 * got.reshape(BH, NH, L, W + 1).sum(axis=1).astype(
+            p.dtype)
+
+    t("fused packed+mask width-129", g_pm, pm, (idx,))
+
+    # undo: separate out + lse vs fused f32 width-65 (undo has L rows/round
+    # x NH rounds = S rows either way)
+    out_undo_idx = idx  # same row-count/statistics as the real undo
+    def g_out(p, ix):
+        got = jnp.take_along_axis(out_like, ix[..., None], axis=1)
+        return p + 0.001 * got.reshape(BH, NH, L, D).sum(
+            axis=(1, -1))[..., None].astype(p.dtype)
+    t("undo out width-64 bf16", g_out, packed, (out_undo_idx,))
+    fused_ol = jnp.concatenate([out_like.astype(jnp.float32),
+                                lse_like[..., None]], axis=-1)
+    def g_ol(p, ix):
+        got = jnp.take_along_axis(fused_ol, ix[..., None], axis=1)
+        return p + 0.001 * got.reshape(BH, NH, L, D + 1).sum(
+            axis=(1, -1))[..., None].astype(p.dtype)
+    t("undo out+lse fused f32 width-65", g_ol, packed, (out_undo_idx,))
+
+    # fwd+bwd of the undo pair: two scatters vs one
+    def fb_sep(p, ix):
+        def loss(q):
+            o = jnp.take_along_axis(q, ix[..., None], axis=1)
+            l2 = jnp.take_along_axis(
+                jnp.broadcast_to(q[..., 0], (BH, L)).astype(jnp.float32),
+                ix[:, :L], axis=1)
+            return (o.astype(jnp.float32) ** 2).sum() + (l2 ** 2).sum()
+        return p - 0.001 * jax.grad(loss)(p).astype(p.dtype)
+
+    def fb_fused(p, ix):
+        def loss(q):
+            o = jnp.take_along_axis(
+                jnp.concatenate([q.astype(jnp.float32),
+                                 q[..., :1].astype(jnp.float32)], -1),
+                ix[..., None], axis=1)
+            return (o ** 2).sum()
+        return p - 0.001 * jax.grad(loss)(p).astype(p.dtype)
+
+    t("fwd+bwd separate out & lse", fb_sep, packed, (idx,))
+    t("fwd+bwd fused out+lse", fb_fused, packed, (idx,))
+
+
+if __name__ == "__main__" and "--fusion" in sys.argv:
+    probe_fusion()
+
+
+# --- core A/B: old 4-gather tail vs the shipped fused core -------------------
+
+def _core_old(qk, v, cfg, mask, causal, rng):
+    """Round-3 lsh_attention_core tail: separate mask gather + separate
+    out/lse undo gathers (the pre-fusion shape), sharing hash/sort/attend
+    with the shipped code so the A/B isolates the gather fusions."""
+    from rtts.attention.lsh import (
+        _len_norm, _sort_by_bucket, auto_num_buckets, hash_vectors,
+        lsh_attend_chunks)
+
+    b, h, l, d = qk.shape
+    c = cfg.chunk_length
+    nh = cfg.num_hashes
+    nb = cfg.num_buckets or auto_num_buckets(l, c)
+    buckets = hash_vectors(qk, nb, nh, rng, mask)
+    sorted_pos, undo_idx, _ = _sort_by_bucket(buckets)
+    bh = b * h
+    idx = sorted_pos.reshape(bh, nh * l)
+    packed = jnp.concatenate([qk, v], axis=-1).reshape(bh, l, 2 * d)
+    g = jnp.take_along_axis(packed, idx[..., None], axis=1)
+    g = g.reshape(b, h, nh, l, 2 * d)
+    qk_s, v_s = g[..., :d], g[..., d:]
+    mb = jnp.broadcast_to(mask[:, None, None, :], (b, h, nh, l))
+    valid_s = jnp.take_along_axis(mb, sorted_pos, axis=3)     # width-1 gather
+    nc = nh * l // c
+    q_c = qk_s.reshape(b, h, nc, c, d)
+    k_c = (_len_norm(qk_s) * (d ** -0.5)).reshape(b, h, nc, c, d)
+    v_c = v_s.reshape(b, h, nc, c, d)
+    pos_c = sorted_pos.reshape(b, h, nc, c)
+    val_c = valid_s.reshape(b, h, nc, c)
+    out_c, lse_c = lsh_attend_chunks(q_c, k_c, v_c, pos_c, val_c, causal,
+                                     cfg.num_chunks_before,
+                                     cfg.num_chunks_after,
+                                     cfg.mask_value, cfg.self_mask_value)
+    out_flat = out_c.reshape(b, h, nh, l, d)
+    lse_flat = lse_c.reshape(b, h, nh, l)
+    lse_r = jnp.take_along_axis(lse_flat, undo_idx, axis=3)   # width-1 gather
+    out_r = jnp.take_along_axis(out_flat, undo_idx[..., None], axis=3)
+    w = jnp.exp(lse_r - jax.nn.logsumexp(lse_r, axis=2, keepdims=True))
+    return jnp.einsum("bhnl,bhnld->bhld", w.astype(out_r.dtype), out_r)
+
+
+def probe_core():
+    from rtts.attention.lsh import lsh_attention_core
+    from rtts.config import AttentionConfig
+
+    cfg = AttentionConfig(kind="lsh", num_heads=H, head_dim=D, num_hashes=NH,
+                          chunk_length=64, num_chunks_before=1,
+                          use_pallas=False, sort_gather="take")
+    key = jax.random.PRNGKey(0)
+    qk = jax.random.normal(key, (B, H, L, D), jnp.bfloat16)
+    v = jax.random.normal(jax.random.fold_in(key, 1), (B, H, L, D),
+                          jnp.bfloat16)
+    mask = jnp.arange(L)[None, :] < jnp.asarray([L, L - 500])[:, None]
+    rng = jax.random.PRNGKey(7)
+
+    def new_fwd(x, vv):
+        out, _ = lsh_attention_core(x, vv, cfg, mask, True, rng)
+        return out.astype(x.dtype), vv
+
+    def old_fwd(x, vv):
+        return _core_old(x, vv, cfg, mask, True, rng).astype(x.dtype), vv
+
+    def new_fb(x, vv):
+        g = jax.grad(lambda a: (lsh_attention_core(a, vv, cfg, mask, True,
+                                                   rng)[0]
+                                .astype(jnp.float32) ** 2).sum())(x)
+        return x - 0.001 * g.astype(x.dtype), vv
+
+    def old_fb(x, vv):
+        g = jax.grad(lambda a: (_core_old(a, vv, cfg, mask, True, rng)
+                                .astype(jnp.float32) ** 2).sum())(x)
+        return x - 0.001 * g.astype(x.dtype), vv
+
+    def tl(fn, iters=4, repeats=4):
+        loop = jax.jit(lambda x0, v0: jax.lax.fori_loop(
+            0, iters, lambda i, cr: fn(*cr), (x0, v0)))
+        _sync(loop(qk, v))
+        ts = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            _sync(loop(qk, v))
+            ts.append(time.perf_counter() - t0)
+        return min(ts) / iters
+
+    # numerics check first (f32 combine vs bf16 combine: refusion class)
+    o_new, _ = new_fwd(qk, v)
+    o_old, _ = old_fwd(qk, v)
+    diff = float(jnp.max(jnp.abs(o_new.astype(jnp.float32)
+                                 - o_old.astype(jnp.float32))))
+    print(f"core A/B at b{B} h{H} nh{NH} L{L} c64 (take mode); "
+          f"max |new-old| = {diff:.3e}")
+    t_of, t_nf = tl(old_fwd), tl(new_fwd)
+    t_ob, t_nb = tl(old_fb), tl(new_fb)
+    print(f"  fwd     old {t_of * 1e3:7.2f} ms  new {t_nf * 1e3:7.2f} ms  "
+          f"speedup {t_of / t_nf:.2f}x")
+    print(f"  fwd+bwd old {t_ob * 1e3:7.2f} ms  new {t_nb * 1e3:7.2f} ms  "
+          f"speedup {t_ob / t_nb:.2f}x")
+
+
+if __name__ == "__main__" and "--core" in sys.argv:
+    probe_core()
+
+
+# --- train-step A/B: legacy core monkeypatched into the full 8k step ---------
+
+def probe_train8k():
+    """Full longform_8k train step (fwd+bwd+Adam), shipped fused core vs
+    the r3 4-gather tail — same process, same data, the VERDICT item-1
+    'done' metric."""
+    import dataclasses
+
+    from rtts.attention import lsh as lsh_mod
+    from rtts.config import load_config
+    from rtts.models import reformer_tts as M
+    from rtts.train.losses import make_stop_target, tts_loss
+    from rtts.train.optim import make_optimizer
+    from rtts.text import vocab_size
+    import optax
+
+    cfg = load_config("configs/longform_8k.yaml",
+                      [f"model.vocab_size={vocab_size()}"])
+    mcfg = cfg.model
+    batch, mel_len, token_len = 2, 8192, 256
+    params = M.init(jax.random.PRNGKey(0), mcfg)
+    opt = make_optimizer(cfg.experiment.optim)
+    opt_state = opt.init(params)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (batch, token_len),
+                                3, mcfg.vocab_size)
+    tmask = jnp.ones((batch, token_len), bool)
+    mel = jax.random.normal(jax.random.PRNGKey(2),
+                            (batch, mel_len, mcfg.n_mels))
+    mmask = jnp.ones((batch, mel_len), bool)
+
+    def step(p, s, rng):
+        def loss_fn(pp):
+            pre, post, stop = M.forward(pp, mcfg, tokens, tmask, mel, mmask,
+                                        rng=rng, deterministic=False)
+            l, _ = tts_loss(pre, post, stop, mel, make_stop_target(mmask),
+                            mmask, mcfg.stop_pos_weight)
+            return l
+        g = jax.grad(loss_fn)(p)
+        up, s = opt.update(g, s, p)
+        return optax.apply_updates(p, up), s
+
+    def legacy_core(qk, v, acfg, mask, causal, rng, buckets=None,
+                    attend_fn=None, dropout_rng=None):
+        m = mask if mask is not None else jnp.ones(
+            (qk.shape[0], qk.shape[2]), bool)
+        out = _core_old(qk, v, acfg, m, causal, rng)
+        return out, (buckets if buckets is not None
+                     else jnp.zeros((0,), jnp.int32))
+
+    def time_step(label):
+        jstep = jax.jit(step, donate_argnums=(0, 1))
+        rng = jax.random.PRNGKey(3)
+        p, s = jax.tree.map(jnp.copy, params), jax.tree.map(jnp.copy,
+                                                            opt_state)
+        p, s = jstep(p, s, rng)
+        _sync(p)
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            p, s = jstep(p, s, rng)
+            _sync(p)
+            ts.append(time.perf_counter() - t0)
+        dt = min(ts)
+        print(f"  {label:12s} {dt * 1e3:8.1f} ms/step  "
+              f"{batch * mel_len / dt:10,.0f} frames/s", flush=True)
+        return dt
+
+    print(f"train step A/B: longform_8k b{batch} x {mel_len}")
+    orig = lsh_mod.lsh_attention_core
+    t_new = time_step("fused (new)")
+    lsh_mod.lsh_attention_core = legacy_core
+    try:
+        t_old = time_step("r3 4-gather")
+    finally:
+        lsh_mod.lsh_attention_core = orig
+    print(f"  speedup {t_old / t_new:.3f}x")
+
+
+if __name__ == "__main__" and "--train8k" in sys.argv:
+    probe_train8k()
+
+
+# --- step-level sweep: where do the 573 ms actually go? ----------------------
+
+def probe_sweep8k():
+    """Same-process longform_8k train-step sweep over the knobs that could
+    own the non-gather cost: the fused Pallas chunk-attend (retired at
+    flagship shapes, never re-measured at 8k), FFN chunking, residual
+    scheme."""
+    import dataclasses
+
+    from rtts.config import load_config
+    from rtts.models import reformer_tts as M
+    from rtts.train.losses import make_stop_target, tts_loss
+    from rtts.train.optim import make_optimizer
+    from rtts.text import vocab_size
+    import optax
+
+    base = load_config("configs/longform_8k.yaml",
+                       [f"model.vocab_size={vocab_size()}"])
+    batch, mel_len, token_len = 2, 8192, 256
+
+    def run(label, overrides):
+        from rtts.config import apply_overrides, from_dict, to_dict, Config
+
+        cfg = from_dict(Config, apply_overrides(to_dict(base), overrides))
+        mcfg = cfg.model
+        params = M.init(jax.random.PRNGKey(0), mcfg)
+        opt = make_optimizer(cfg.experiment.optim)
+        opt_state = opt.init(params)
+        tokens = jax.random.randint(jax.random.PRNGKey(1),
+                                    (batch, token_len), 3, mcfg.vocab_size)
+        tmask = jnp.ones((batch, token_len), bool)
+        mel = jax.random.normal(jax.random.PRNGKey(2),
+                                (batch, mel_len, mcfg.n_mels))
+        mmask = jnp.ones((batch, mel_len), bool)
+
+        def step(p, s, rng):
+            def loss_fn(pp):
+                pre, post, stop = M.forward(pp, mcfg, tokens, tmask, mel,
+                                            mmask, rng=rng,
+                                            deterministic=False)
+                l, _ = tts_loss(pre, post, stop, mel,
+                                make_stop_target(mmask), mmask,
+                                mcfg.stop_pos_weight)
+                return l
+            g = jax.grad(loss_fn)(p)
+            up, s = opt.update(g, s, p)
+            return optax.apply_updates(p, up), s
+
+        try:
+            jstep = jax.jit(step, donate_argnums=(0, 1))
+            rng = jax.random.PRNGKey(3)
+            p, s = jstep(params, opt_state, rng)
+            _sync(p)
+            ts = []
+            for _ in range(4):
+                t0 = time.perf_counter()
+                p, s = jstep(p, s, rng)
+                _sync(p)
+                ts.append(time.perf_counter() - t0)
+            dt = min(ts)
+            print(f"  {label:34s} {dt * 1e3:8.1f} ms/step  "
+                  f"{batch * mel_len / dt:10,.0f} f/s", flush=True)
+        except Exception as e:
+            print(f"  {label:34s} FAILED: {type(e).__name__}: "
+                  f"{str(e)[:150]}", flush=True)
+
+    print(f"longform_8k step sweep, b{batch} x {mel_len}:")
+    run("shipped (rev, ffn512, jnp attend)", [])
+    run("pallas chunk-attend", ["model.encoder.attention.use_pallas=true",
+                                "model.decoder.attention.use_pallas=true"])
+    run("ffn unchunked", ["model.encoder.ffn_chunk_size=0",
+                          "model.decoder.ffn_chunk_size=0"])
+    run("plain residuals", ["model.encoder.reversible=false",
+                            "model.decoder.reversible=false"])
+    run("plain + ffn unchunked", ["model.encoder.reversible=false",
+                                  "model.decoder.reversible=false",
+                                  "model.encoder.ffn_chunk_size=0",
+                                  "model.decoder.ffn_chunk_size=0"])
+    run("pallas + plain + unchunked",
+        ["model.encoder.attention.use_pallas=true",
+         "model.decoder.attention.use_pallas=true",
+         "model.encoder.reversible=false",
+         "model.decoder.reversible=false",
+         "model.encoder.ffn_chunk_size=0",
+         "model.decoder.ffn_chunk_size=0"])
+    run("nh2 (vs shipped nh4)",
+        ["model.encoder.attention.num_hashes=2",
+         "model.decoder.attention.num_hashes=2"])
+
+
+if __name__ == "__main__" and "--sweep8k" in sys.argv:
+    probe_sweep8k()

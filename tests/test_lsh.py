@@ -80,7 +80,16 @@ def test_hash_vectors_deterministic_and_padded(head_tensors):
 def test_sort_round_trip(head_tensors):
     qk, _, mask = head_tensors
     buckets = hash_vectors(qk, 8, 3, jax.random.PRNGKey(5), mask)
-    sorted_pos, undo = _sort_by_bucket(buckets)
+    sorted_pos, undo, sorted_buckets = _sort_by_bucket(buckets)
+    # sorted_buckets = bucket id per sorted slot (rides the same sort);
+    # validity (padding = overflow bucket 8) must equal the gathered mask
+    mb = jnp.broadcast_to(mask[:, None, None, :], buckets.shape)
+    valid_gathered = jnp.take_along_axis(mb, sorted_pos, axis=3)
+    np.testing.assert_array_equal(np.asarray(sorted_buckets < 8),
+                                  np.asarray(valid_gathered))
+    np.testing.assert_array_equal(
+        np.asarray(sorted_buckets),
+        np.asarray(jnp.take_along_axis(buckets, sorted_pos, axis=3)))
     # each round's sorted_pos is a permutation
     sp = np.asarray(sorted_pos)
     for bi in range(sp.shape[0]):

@@ -86,3 +86,56 @@ def test_auto_rule():
     with pytest.raises(ValueError):
         _sort_gather_mode(AttentionConfig(sort_gather="bogus"),
                           1, 1, 64, jnp.float32)
+
+
+def test_perm_take_grads_match_plain_take():
+    """The permutation-aware gathers (backward = inverse gather, not
+    scatter-add) must be value- AND grad-identical to take_along_axis."""
+    from rtts.attention.lsh import _perm_round_take, _perm_rows_take
+
+    rng = np.random.RandomState(0)
+    bh, nh, l, w = 3, 2, 16, 5
+    idx = np.stack([np.stack([rng.permutation(l) for _ in range(nh)])
+                    for _ in range(bh)]).astype(np.int32)       # (bh,nh,l)
+    inv = np.argsort(idx, axis=-1).astype(np.int32)
+    x = jnp.asarray(rng.randn(bh, l, w), jnp.float32)
+    ct = jnp.asarray(rng.randn(bh, nh * l, w), jnp.float32)
+
+    def loss_perm(a):
+        return (_perm_rows_take(a, jnp.asarray(idx), jnp.asarray(inv))
+                * ct).sum()
+
+    def loss_take(a):
+        return (jnp.take_along_axis(
+            a, jnp.asarray(idx.reshape(bh, nh * l))[..., None], axis=1)
+            * ct).sum()
+
+    np.testing.assert_allclose(float(loss_perm(x)), float(loss_take(x)),
+                               rtol=1e-6)
+    g_p = jax.grad(loss_perm)(x)
+    g_t = jax.grad(loss_take)(x)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_t),
+                               rtol=1e-6, atol=1e-6)
+
+    # within-round variant on (B,H,nh,L,W)
+    b, h = 2, 2
+    idx4 = np.stack([np.stack([np.stack([rng.permutation(l)
+                                         for _ in range(nh)])
+                               for _ in range(h)])
+                     for _ in range(b)]).astype(np.int32)
+    inv4 = np.argsort(idx4, axis=-1).astype(np.int32)
+    x4 = jnp.asarray(rng.randn(b, h, nh, l, w), jnp.float32)
+    ct4 = jnp.asarray(rng.randn(b, h, nh, l, w), jnp.float32)
+
+    def lp(a):
+        return (_perm_round_take(a, jnp.asarray(idx4), jnp.asarray(inv4))
+                * ct4).sum()
+
+    def lt(a):
+        return (jnp.take_along_axis(a, jnp.asarray(idx4)[..., None], axis=3)
+                * ct4).sum()
+
+    np.testing.assert_allclose(float(lp(x4)), float(lt(x4)), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(jax.grad(lp)(x4)),
+                               np.asarray(jax.grad(lt)(x4)),
+                               rtol=1e-6, atol=1e-6)
