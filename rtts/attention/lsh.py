@@ -324,16 +324,26 @@ def _sort_gather_mode(cfg: AttentionConfig, bh: int, nh: int, l: int,
     return "onehot" if oh_bytes <= (1 << 32) else "take"
 
 
-def _pick_attend_fn(cfg: AttentionConfig):
-    """Fused Pallas chunk-attend on TPU; jnp reference elsewhere (or when
-    disabled).  Interpret mode keeps the kernel testable on CPU."""
-    if not cfg.use_pallas:
+def _pick_attend_fn(cfg: AttentionConfig, seq_len: int):
+    """Fused Pallas chunk-attend vs the jnp reference, per the use_pallas
+    knob.  "auto" = kernel on TPU from 8192 positions — the measured
+    crossover side where its in-VMEM scores beat XLA's restreamed path
+    (BENCH.md r4 "8k step sweep"; at 1024 XLA wins, BENCH.md r2) — and
+    the jnp path below / off-TPU (interpret mode is for tests, not speed,
+    so "auto" never selects it).  Explicit true keeps interpret-mode CPU
+    testability."""
+    use = cfg.use_pallas
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if isinstance(use, str):
+        if use != "auto":
+            raise ValueError(
+                f"use_pallas must be true, false or 'auto', got {use!r}")
+        use = on_tpu and seq_len >= 8192
+    if not use:
         return lsh_attend_chunks
-    import functools
 
     from rtts.ops.lsh_attention import lsh_attend_chunks_pallas
 
-    on_tpu = jax.devices()[0].platform == "tpu"
     return functools.partial(lsh_attend_chunks_pallas,
                              interpret=not on_tpu)
 
@@ -371,7 +381,7 @@ def lsh_attention_core(
             lsh_attend_chunks, dropout_rate=cfg.attention_dropout,
             dropout_rng=dropout_rng, chunks_per_round=l // c)
     elif attend_fn is None:
-        attend_fn = _pick_attend_fn(cfg)
+        attend_fn = _pick_attend_fn(cfg, l)
     if l % c != 0:
         raise ValueError(f"seq len {l} not a multiple of chunk {c} (autopad upstream)")
     nb = cfg.num_buckets or auto_num_buckets(l, c)

@@ -140,13 +140,18 @@ class AttentionConfig:
     mask_value: float = -1e9
     self_mask_value: float = -1e5
     # fused Pallas chunk-attend kernel (falls back to interpret mode
-    # off-TPU).  Default OFF: measured on v5e (BENCH.md r2), the attend op
-    # is HBM-bandwidth-bound and XLA's fused path beats every Pallas
-    # structure tried (best 3.2 ms vs 1.57 ms at flagship shapes) because
-    # Pallas DMA streams reach ~half of XLA's effective bandwidth on this
-    # backend.  The kernel stays available (more accurate: f32-accumulated
-    # scores, 10x closer to the f32 oracle than XLA's bf16 path).
-    use_pallas: bool = False
+    # off-TPU): true | false | "auto".  Measured on v5e: at flagship
+    # shapes (L=1024) the attend op is HBM-bandwidth-bound and XLA's
+    # fused path wins (best 3.2 ms vs 1.57 ms, BENCH.md r2 — Pallas DMA
+    # streams reach ~half of XLA's effective bandwidth here), but at 8k
+    # the balance flips: the kernel's in-VMEM scores took the longform
+    # train step 27.3k -> 29.1k f/s and stacked with plain residuals to
+    # 41.9k (BENCH.md r4 "8k step sweep").  "auto" = kernel on TPU from
+    # 8192 positions (the measured win; 1024 measured a loss; between is
+    # unmeasured so auto stays conservative), XLA below.  The kernel is
+    # also more accurate (f32-accumulated scores, 10x closer to the f32
+    # oracle than XLA's bf16 path).
+    use_pallas: Union[bool, str] = "auto"
     # flash (online-softmax) Pallas kernel for the FULL-attention paths
     # (kind full / auto->full self-attention and cross-attention):
     # true | false | "auto".  Unlike the retired chunk-

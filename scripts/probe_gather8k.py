@@ -153,7 +153,7 @@ def main():
               f"({by / t / 1e9:6.1f} GB/s)")
 
 
-if __name__ == "__main__" and not ({"--fusion", "--core", "--train8k", "--sweep8k"}
+if __name__ == "__main__" and not ({"--fusion", "--core", "--train8k", "--sweep8k", "--mem8k"}
                                    & set(sys.argv)):
     main()
 
@@ -534,3 +534,68 @@ def probe_sweep8k():
 
 if __name__ == "__main__" and "--sweep8k" in sys.argv:
     probe_sweep8k()
+
+
+# --- memory calibration: actual compiled transients, plain vs rev ------------
+
+def probe_mem8k():
+    """Compiled temp_size of the longform LSH train step, plain vs
+    reversible, at (b2, 8k) and (b1, 16k) — calibrates
+    config._plain_transient_mb's LSH term against reality (the r3 estimate
+    said 8.9 GB for b2x8k plain; the step visibly fits)."""
+    import dataclasses
+
+    from rtts.config import apply_overrides, from_dict, to_dict, Config, load_config
+    from rtts.models import reformer_tts as M
+    from rtts.train.losses import make_stop_target, tts_loss
+    from rtts.train.optim import make_optimizer
+    from rtts.text import vocab_size
+    import optax
+
+    base = load_config("configs/longform_8k.yaml",
+                       [f"model.vocab_size={vocab_size()}"])
+
+    def temp_mb(batch, mel_len, overrides):
+        cfg = from_dict(Config, apply_overrides(
+            to_dict(base), overrides + [f"model.max_pos={mel_len}"]))
+        mcfg = cfg.model
+        params = M.init(jax.random.PRNGKey(0), mcfg)
+        opt = make_optimizer(cfg.experiment.optim)
+        opt_state = opt.init(params)
+        token_len = 256
+        tokens = jnp.ones((batch, token_len), jnp.int32)
+        tmask = jnp.ones((batch, token_len), bool)
+        mel = jnp.zeros((batch, mel_len, mcfg.n_mels))
+        mmask = jnp.ones((batch, mel_len), bool)
+
+        def step(p, s, rng):
+            def loss_fn(pp):
+                pre, post, stop = M.forward(pp, mcfg, tokens, tmask, mel,
+                                            mmask, rng=rng,
+                                            deterministic=False)
+                l, _ = tts_loss(pre, post, stop, mel,
+                                make_stop_target(mmask), mmask,
+                                mcfg.stop_pos_weight)
+                return l
+            g = jax.grad(loss_fn)(p)
+            up, s = opt.update(g, s, p)
+            return optax.apply_updates(p, up), s
+
+        try:
+            lowered = jax.jit(step, donate_argnums=(0, 1)).lower(
+                params, opt_state, jax.random.PRNGKey(3))
+            mem = lowered.compile().memory_analysis()
+            return mem.temp_size_in_bytes / 1e6
+        except Exception as e:
+            return f"FAILED {type(e).__name__}: {str(e)[:120]}"
+
+    plain = ["model.encoder.reversible=false", "model.decoder.reversible=false",
+             "model.encoder.ffn_chunk_size=0", "model.decoder.ffn_chunk_size=0"]
+    for b, L in ((2, 8192), (1, 16384)):
+        print(f"b{b} x {L}: plain+unchunked temp "
+              f"{temp_mb(b, L, plain)} MB | rev+ffn512 temp "
+              f"{temp_mb(b, L, [])} MB", flush=True)
+
+
+if __name__ == "__main__" and "--mem8k" in sys.argv:
+    probe_mem8k()

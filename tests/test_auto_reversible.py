@@ -197,3 +197,41 @@ def test_ffn_chunk_auto_forward_matches_explicit():
     out_chunk_r = run(dataclasses.replace(rev,
                                           ffn_chunk_size=AUTO_FFN_CHUNK))
     np.testing.assert_array_equal(out_auto_r, out_chunk_r)
+
+
+def test_longform_8k_resolves_plain_fast_path():
+    """BENCH.md r4 '8k step sweep': the longform config's raised plain
+    budget must resolve plain residuals + unchunked FFN at its shipped
+    (b2, 8192) shape and at (b1, 16384), and fall back to reversible +
+    chunked FFN at shapes whose estimated transient exceeds the budget
+    (b8 x 8192)."""
+    from rtts.config import load_config, resolve_ffn_chunk, resolve_reversible
+
+    cfg = load_config("configs/longform_8k.yaml", ["model.vocab_size=10"])
+    dec = cfg.model.decoder
+    assert resolve_reversible(dec, 2, 8192, 256) is False
+    assert resolve_ffn_chunk(dec, 2, 8192, 256) == 0
+    assert resolve_reversible(dec, 1, 16384, 256) is False
+    assert resolve_reversible(dec, 8, 8192, 256) is True
+    assert resolve_ffn_chunk(dec, 8, 8192, 256) > 0
+
+
+def test_use_pallas_auto_resolution():
+    """use_pallas='auto' selects the fused chunk-attend only on TPU and
+    only from 8192 positions (BENCH.md r4: kernel wins at 8k, loses at
+    1k); off-TPU it must resolve the jnp attend (interpret mode is for
+    explicitly-requested tests, not speed)."""
+    from rtts.attention.lsh import _pick_attend_fn, lsh_attend_chunks
+    from rtts.config import AttentionConfig
+
+    auto = AttentionConfig(kind="lsh")
+    assert auto.use_pallas == "auto"
+    # CPU (this suite): auto never selects the kernel at any length
+    assert _pick_attend_fn(auto, 8192) is lsh_attend_chunks
+    assert _pick_attend_fn(auto, 1024) is lsh_attend_chunks
+    # explicit true keeps the interpret-mode test path
+    on = AttentionConfig(kind="lsh", use_pallas=True)
+    assert _pick_attend_fn(on, 64) is not lsh_attend_chunks
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="use_pallas"):
+        _pick_attend_fn(AttentionConfig(kind="lsh", use_pallas="always"), 64)
