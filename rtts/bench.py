@@ -753,9 +753,14 @@ def bench_latency(cfg: Optional[Config] = None,
             "engine_drain_s": float(best.max()),
         }
 
-    # streaming TTFA sweep (batch 1, the latency-critical case)
-    ss = StreamingSynthesizer(cfg, params, voc_params,
-                              max_frames=max_frames)
+    # streaming TTFA sweep (batch 1, the latency-critical case).  Random
+    # bench weights would fire the stop head on frame 1 (one chunk, no
+    # inter-chunk cadence to measure): pin stop_threshold=2.0 so every
+    # stream runs its full max_frames like the other paths here.
+    ss = StreamingSynthesizer(
+        dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, stop_threshold=2.0)),
+        params, voc_params, max_frames=max_frames)
     text = ["speech synthesis latency probe sentence"]
     streaming: Dict[str, Any] = {}
     for ch in chunk_sweep:

@@ -94,6 +94,15 @@ class StreamingSynthesizer:
         self._segment = jax.jit(self._segment_impl,
                                 static_argnames=("n_groups",))
         self._postnet = jax.jit(self._postnet_impl)
+        if vocoder_params is not None:
+            from rtts.models.squeezewave import _infer_chunk
+
+            # instance-lifetime jit: a per-stream() jit instance would
+            # retrace/recompile the vocoder chunk EVERY call — measured
+            # seconds of time-to-first-audio on the tunneled backend
+            # (BENCH.md r4 "latency")
+            self._voc_fn = jax.jit(
+                functools.partial(_infer_chunk, cfg=cfg.vocoder))
 
     # -- jitted pieces ------------------------------------------------------
 
@@ -168,10 +177,7 @@ class StreamingSynthesizer:
         # vocoder context bookkeeping
         pn_ctx = _postnet_context(cfg)
         if self.vocoder_params is not None:
-            from rtts.models.squeezewave import (
-                _infer_chunk,
-                receptive_field_squeezed,
-            )
+            from rtts.models.squeezewave import receptive_field_squeezed
 
             sq_per_frame = vcfg.hop_length // vcfg.n_group
             voc_ctx = -(-receptive_field_squeezed(vcfg) // sq_per_frame)
@@ -179,7 +185,7 @@ class StreamingSynthesizer:
             z_full = jax.random.normal(jax.random.fold_in(rng, 77),
                                        (memory.shape[0], l_total,
                                         vcfg.n_group)) * vcfg.sigma
-            voc_fn = jax.jit(functools.partial(_infer_chunk, cfg=vcfg))
+            voc_fn = self._voc_fn   # instance jit (see __init__)
 
         # host-side buffer of FINAL post-netted mel frames.  Windows are
         # always sliced from state.mel (which holds zeros past the decoded
