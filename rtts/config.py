@@ -360,6 +360,11 @@ class CheckpointConfig:
 class LoggingConfig:
     jsonl_path: str = "metrics.jsonl"
     tensorboard_dir: Optional[str] = None
+    # optional hosted experiment tracker (SURVEY.md §3.1 #18): "neptune",
+    # "wandb", or a "module.path:factory" dotted path; degrades to a
+    # warning + local-sinks-only when the SDK/network is absent
+    # (rtts/utils/tracking.py)
+    tracker: Optional[str] = None
     log_every_steps: int = 50
     eval_every_steps: int = 500
     artifacts_dir: str = "artifacts"  # spectrogram PNGs + wavs at eval

@@ -188,8 +188,17 @@ def train_tts(cfg: Config, workdir: str, max_steps: Optional[int] = None,
             # host IO (metrics, checkpoints, artifacts) is process-0 only;
             # every process still executes the SPMD train/eval computation
             is_main = jax.process_index() == 0
-            logger = MetricLogger(str(work / exp.logging.jsonl_path),
-                                  exp.logging.tensorboard_dir) if is_main else None
+            if is_main:
+                from rtts.config import to_dict
+                from rtts.utils.tracking import make_tracker
+
+                logger = MetricLogger(
+                    str(work / exp.logging.jsonl_path),
+                    exp.logging.tensorboard_dir,
+                    tracker=make_tracker(exp.logging.tracker, exp.name,
+                                         config=to_dict(cfg)))
+            else:
+                logger = None
             # async saves overlap the npz write with the next train steps;
             # _save snapshots to host first, so donation can't corrupt them
             saver = AsyncCheckpointer() if exp.checkpoint.async_save else None
@@ -226,7 +235,7 @@ def train_tts(cfg: Config, workdir: str, max_steps: Optional[int] = None,
                 if (step + 1) % exp.logging.eval_every_steps == 0 or step + 1 == max_steps:
                     val_metrics = _run_eval(cfg, model_cfg, eval_step, params,
                                             val_ds, mesh, work, step + 1,
-                                            artifacts=is_main)
+                                            artifacts=is_main, logger=logger)
                     if is_main:
                         logger.log(step + 1, val_metrics, prefix="val/")
                         _save(step + 1,
@@ -257,7 +266,7 @@ def train_tts(cfg: Config, workdir: str, max_steps: Optional[int] = None,
 
 
 def _run_eval(cfg, model_cfg, eval_step, params, val_ds, mesh, work,
-              step, artifacts: bool = True) -> Dict[str, float]:
+              step, artifacts: bool = True, logger=None) -> Dict[str, float]:
     agg: Dict[str, float] = {}
     n = 0
     post_example = None
@@ -334,6 +343,11 @@ def _run_eval(cfg, model_cfg, eval_step, params, val_ds, mesh, work,
                     n_iter=8))
             write_wav(art / f"audio_step{step}.wav", wav,
                       cfg.dataset.audio.sample_rate)
+            if logger is not None:  # hosted-tracker copies (additive)
+                for fname in (f"mel_step{step}.png", f"align_step{step}.png",
+                              f"audio_step{step}.wav"):
+                    if (art / fname).exists():
+                        logger.log_artifact(art / fname)
         except Exception as e:  # artifacts must never kill training
             print(f"eval artifact generation failed: {e}")
     return out

@@ -115,8 +115,17 @@ def train_vocoder(cfg: Config, workdir: str, max_steps: Optional[int] = None,
             infer_jit = jax.jit(lambda p, mel, rng: SW.infer(p, voc, mel, rng=rng))
 
             is_main = jax.process_index() == 0
-            logger = MetricLogger(str(work / exp.logging.jsonl_path),
-                                  exp.logging.tensorboard_dir) if is_main else None
+            if is_main:
+                from rtts.config import to_dict
+                from rtts.utils.tracking import make_tracker
+
+                logger = MetricLogger(
+                    str(work / exp.logging.jsonl_path),
+                    exp.logging.tensorboard_dir,
+                    tracker=make_tracker(exp.logging.tracker, exp.name,
+                                         config=to_dict(cfg)))
+            else:
+                logger = None
             saver = AsyncCheckpointer() if exp.checkpoint.async_save else None
 
             def _save(step, metric):

@@ -18,8 +18,12 @@ from typing import Any, Dict, Optional
 class MetricLogger:
     def __init__(self, jsonl_path: Optional[str] = None,
                  tensorboard_dir: Optional[str] = None,
-                 echo: bool = True):
+                 echo: bool = True,
+                 tracker=None):
         self.echo = echo
+        # optional hosted sink (rtts/utils/tracking.py); local sinks never
+        # depend on it and its failures must never kill training
+        self._tracker = tracker
         self._jsonl = None
         if jsonl_path:
             p = pathlib.Path(jsonl_path)
@@ -49,13 +53,37 @@ class MetricLogger:
             for k, v in rec.items():
                 if k not in ("step", "time") and isinstance(v, float):
                     self._tb.scalar(k, v, step)
+        if self._tracker is not None:
+            try:
+                self._tracker.log(
+                    step, {k: v for k, v in rec.items()
+                           if k not in ("step", "time")})
+            except Exception as e:  # hosted sink down != training down
+                print(f"tracker log failed: {e}", file=sys.stderr)
         if self.echo:
             parts = " ".join(f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}"
                              for k, v in rec.items() if k not in ("time",))
             print(parts, file=sys.stderr)
+
+    def log_artifact(self, path, name: Optional[str] = None) -> None:
+        """Forward an eval artifact (PNG/wav) to the hosted tracker, if any.
+
+        Local artifact files are already on disk when this is called — the
+        hosted copy is additive, so failures only print.
+        """
+        if self._tracker is not None:
+            try:
+                self._tracker.log_artifact(str(path), name=name)
+            except Exception as e:
+                print(f"tracker artifact upload failed: {e}", file=sys.stderr)
 
     def close(self) -> None:
         if self._jsonl:
             self._jsonl.close()
         if self._tb:
             self._tb.flush()
+        if self._tracker is not None:
+            try:
+                self._tracker.finish()
+            except Exception as e:
+                print(f"tracker finish failed: {e}", file=sys.stderr)
