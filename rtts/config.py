@@ -77,19 +77,20 @@ class AttentionConfig:
 
     Choosing ``kind`` for TRAINING throughput (measured, BENCH.md
     "Training attention" + r3 flash train sweep): flash-backed full
-    softmax is the fastest option at every measured length through 16k
-    frames (2-4x over 4-hash LSH at <=4k, 2.1-3.7x at 8k-16k) AND uses
-    less transient memory than LSH there (the flash backward re-streams
-    tiles instead of storing scores); naive full (flash: false) collapses
-    past ~4k where its (B,H,L,L) score
+    softmax is the fastest option at every measured length through 32k
+    frames (2-4x over 4-hash LSH at <=4k, 2.1-3.7x at 8k-16k, 1.4-1.8x at
+    32k) AND uses less transient memory than LSH there (the flash backward
+    re-streams tiles instead of storing scores); naive full (flash: false)
+    collapses past ~4k where its (B,H,L,L) score
     tensors become pure HBM traffic.  LSH remains the choice beyond the
-    flash-measured range (>16k), for the O(chunk) ring-cache decode at
-    8k+ frames, and for sequence-parallel sharding."""
+    flash-measured range (>32k; extrapolated crossover ~64k), for the
+    O(chunk) ring-cache decode at 8k+ frames, and for sequence-parallel
+    sharding."""
 
     # "full" | "lsh" | "local" | "auto".  "auto" resolves per apply by
     # sequence length: full softmax at L <= the auto-full limit, LSH above
     # — encoding the measured v5e crossovers (BENCH.md: with the flash
-    # kernel, full is 2.1-3.7x faster than 4-hash LSH through 16k frames;
+    # kernel, full beats 4-hash LSH at every measured length through 32k;
     # without it, naive full's (B,H,L,L) scores collapse past 4k while
     # LSH is 6.7x faster at 8k).  Resolution is static (shapes are static
     # under jit), so each bucketed length compiles its best kernel; decode
@@ -108,10 +109,11 @@ class AttentionConfig:
     hash_seed: Optional[int] = None   # fixed seed => deterministic LSH (tests)
     # kind="auto" crossover: longest sequence that still uses full softmax.
     # None => measured default, resolved purely from this config (so the
-    # same config + length picks the same kind on every backend): 16384
+    # same config + length picks the same kind on every backend): 32768
     # when the flash kernel can own the full path (flash not disabled —
-    # BENCH.md r3 flash train sweep: flash full beats 4-hash LSH 2.1-3.7x
-    # at 8k-16k and its transient memory is BELOW LSH's; attention-probs
+    # BENCH.md r3 flash train sweep + r4 32k cell: flash full beats 4-hash
+    # LSH 2.1-3.7x at 8k-16k and 1.4-1.8x at 32k, and its transient memory
+    # is BELOW LSH's; attention-probs
     # dropout runs in-kernel so it does not change this), else 4096, the
     # naive-full boundary (full 1.9x faster at 4k, LSH 6.7x at 8k —
     # BENCH.md "Training attention"; naive full's transient (B,H,L,L)
@@ -395,13 +397,14 @@ class Config:
 
 
 # kind="auto" boundaries, measured on v5e (BENCH.md).  Flash-backed full
-# attention beats 4-hash LSH at every measured length through 16k (2.6x at
-# 16k, where LSH throughput is flat ~25k f/s and flash full still does
-# 53-64k); extrapolating flash's per-frame cost doubling per length
-# doubling puts the true crossover near 32k, but 16384 is the longest
-# MEASURED win.  Naive full (flash: false) collapses between 4k and 8k
-# on (B,H,L,L) f32 score traffic.
-AUTO_FULL_MAX_LEN_FLASH = 16384
+# attention beats 4-hash LSH at every measured length through 32k — the
+# b1x32768 cell (r4): flash 41.4k f/s reversible / 54.2k plain vs LSH
+# 30.5k, a 1.4-1.8x win — so 32768 is the longest MEASURED win.
+# Extrapolating flash's per-frame cost doubling per length doubling
+# against LSH's flat ~30k f/s puts the true crossover near 64k.  Naive
+# full (flash: false) collapses between 4k and 8k on (B,H,L,L) f32
+# score traffic.
+AUTO_FULL_MAX_LEN_FLASH = 32768
 AUTO_FULL_MAX_LEN_NAIVE = 4096
 
 
@@ -425,7 +428,7 @@ def resolve_attention_kind(a: "AttentionConfig", seq_len: int) -> str:
 
     The rule encodes the measured training crossovers (BENCH.md): with
     the flash kernel the MXU makes O(L^2) full-softmax scores cheaper
-    than LSH's sort/gather machinery through 16k positions on v5e;
+    than LSH's sort/gather machinery through 32k positions on v5e;
     without it (flash: false) naive full wins only to ~4k, past which
     its (B,H,L,L) score traffic collapses and LSH's O(L log L) wins
     outright."""

@@ -31,11 +31,11 @@ def test_resolve_rule():
 
 def test_resolve_rule_default_is_flash_aware():
     """auto_full_max_len: None resolves from the config alone (BENCH.md r3
-    flash train sweep): 16384 when the flash kernel can own the full path,
-    4096 when it cannot (flash disabled).  Deliberately platform-
-    independent — the same config + length must pick the same attention
-    semantics on TPU and CPU.  Attention-probs dropout runs in-kernel, so
-    it does not lower the limit."""
+    flash train sweep + r4 32k cell): 32768 when the flash kernel can own
+    the full path, 4096 when it cannot (flash disabled).  Deliberately
+    platform-independent — the same config + length must pick the same
+    attention semantics on TPU and CPU.  Attention-probs dropout runs
+    in-kernel, so it does not lower the limit."""
     from rtts.config import (AUTO_FULL_MAX_LEN_FLASH, AUTO_FULL_MAX_LEN_NAIVE,
                              auto_full_limit)
 
@@ -43,8 +43,8 @@ def test_resolve_rule_default_is_flash_aware():
                           AttentionConfig(kind="auto", attention_dropout=0.1)):
         assert auto_full_limit(flash_capable) == AUTO_FULL_MAX_LEN_FLASH
         assert resolve_attention_kind(flash_capable, 8192) == "full"
-        assert resolve_attention_kind(flash_capable, 16384) == "full"
-        assert resolve_attention_kind(flash_capable, 16385) == "lsh"
+        assert resolve_attention_kind(flash_capable, 32768) == "full"
+        assert resolve_attention_kind(flash_capable, 32769) == "lsh"
 
     blocked = AttentionConfig(kind="auto", flash=False)
     assert auto_full_limit(blocked) == AUTO_FULL_MAX_LEN_NAIVE
