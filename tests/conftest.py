@@ -75,6 +75,9 @@ QUICK = [
     # quality scalars + CLI surface
     "test_quality.py",
     "test_cli.py::test_help_lists_verbs",
+    # hosted-tracker adapter (offline degradation + forwarding)
+    "test_tracking.py::test_missing_sdk_degrades_to_none_with_warning",
+    "test_tracking.py::test_metric_logger_forwards_scalars_artifacts_and_finish",
 ]
 
 
