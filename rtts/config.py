@@ -219,6 +219,16 @@ class ReformerStackConfig:
     # (n-1 neighbor hops, O(L·d/n) transient HBM)
     seq_parallel_axis: Optional[str] = None
     seq_parallel_exchange: str = "allgather"
+    # pipeline parallelism (beyond reference — PARITY.md §3.4): mesh axis
+    # to stage the stack's layers over (GPipe fill/drain via scan +
+    # ppermute, rtts/parallel/pipeline.py).  Mutually exclusive with
+    # seq_parallel_axis per stack; requires uniform attention kind and
+    # num_layers % n_stages == 0.  microbatches: 0 => one per stage
+    # (bubble fraction (S-1)/(M+S-1)); remat: recompute each stage tick
+    # in the backward (O(1) saved activations per tick)
+    pipeline_axis: Optional[str] = None
+    pipeline_microbatches: int = 0
+    pipeline_remat: bool = True
 
 
 @dataclass(frozen=True)

@@ -235,6 +235,13 @@ def stack_apply(
 ) -> jnp.ndarray:
     """Run the stack on x: (B, L, D) -> (B, L, D)."""
     cross_attend = memory is not None
+    if cfg.pipeline_axis:
+        from rtts.parallel.pipeline import pipeline_stack_apply
+
+        y = pipeline_stack_apply(
+            params, cfg, x, mask, memory, memory_mask, rng,
+            deterministic, compute_dtype)
+        return layer_norm(params["final_ln"], y)
     layer_fns = make_stack_layer_fns(cfg, cross_attend, deterministic, compute_dtype)
     n = len(layer_fns)
     if rng is None:

@@ -1,0 +1,212 @@
+"""Pipeline parallelism for Reformer stacks over a mesh axis.
+
+Beyond-reference capability (SURVEY.md §3.4 lists the reference's only
+parallelism as optional Lightning DDP; PARITY.md §3.4 documents this row):
+stage the stack's layers across devices and stream microbatches through
+them, GPipe-style.  TPU-native shape — no send/recv runtime, no NCCL:
+
+- layer parameters are STACKED along a leading unit axis and sharded over
+  the ``pipe`` mesh axis with ``shard_map`` (each device materializes only
+  its ``num_layers / n_stages`` layers — the memory win PP exists for);
+- the fill/drain schedule is one ``lax.scan`` of ``M + S - 1`` ticks; at
+  every tick each stage applies its layers to the activation pair it
+  holds, then the pair hops to the next stage via a single neighbor
+  ``ppermute`` — XLA overlaps the DMA with the next tick's compute;
+- the BACKWARD schedule is not hand-written: the scan+ppermute forward is
+  differentiated by JAX, and the transpose of a neighbor ppermute is the
+  reverse hop, so autodiff yields exactly the reverse-staged pipeline
+  (with per-tick rematerialization via ``jax.checkpoint`` so the scan
+  saves O(1) activations per tick instead of the whole stack).
+
+Semantics: identical math to the plain-residual two-stream path
+(``reversible_sequence(reversible=False)``) — each microbatch runs the
+same sequential sublayers, batch rows never interact inside a stack, so
+outputs match the single-device forward to f32 reduction tolerance
+(tested, fwd + grads, encoder and cross-attending decoder).
+
+Scheduling notes (why GPipe, not 1F1B): under jit the whole step is one
+XLA program — there is no per-microbatch optimizer tick to interleave, so
+1F1B's memory advantage collapses into the remat knob while its schedule
+complexity remains; the bubble fraction (S-1)/(M+S-1) is controlled by
+``pipeline_microbatches``.
+
+Constraints (validated with actionable errors): uniform attention kind
+across layers (stages index one stacked parameter tree), ``num_layers``
+divisible by the stage count, local batch divisible by the microbatch
+count, and no simultaneous ``seq_parallel_axis`` (both contract the model
+axis; pick one per stack).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from rtts.config import ReformerStackConfig
+
+
+def _batch_axes(mesh: Mesh):
+    """Mesh axes the batch dim rides (dcn outermost, then data)."""
+    from rtts.parallel.mesh import DATA_AXIS, DCN_AXIS
+
+    axes = tuple(a for a in (DCN_AXIS, DATA_AXIS) if a in mesh.axis_names)
+    if not axes:
+        return None
+    return axes if len(axes) > 1 else axes[0]
+
+
+def pipeline_stack_apply(
+    params,
+    cfg: ReformerStackConfig,
+    x: jnp.ndarray,                     # (B, L, D)
+    mask: Optional[jnp.ndarray],        # (B, L) bool
+    memory: Optional[jnp.ndarray],      # (B, Lm, D) or None
+    memory_mask: Optional[jnp.ndarray],
+    rng: Optional[jax.Array],
+    deterministic: bool,
+    compute_dtype,
+    mesh: Optional[Mesh] = None,
+) -> jnp.ndarray:
+    """Run ``params['layers']`` as a pipeline over ``cfg.pipeline_axis``.
+
+    Returns the two-stream mean (B, L, D) in float32 — the caller applies
+    the final LN, exactly like ``reversible_sequence``.
+    """
+    from rtts.models.stack import _layer_kinds, make_stack_layer_fns
+
+    if mesh is None:
+        from rtts.parallel.mesh import current_mesh
+
+        mesh = current_mesh()
+    axis = cfg.pipeline_axis
+    if mesh is None or axis not in mesh.shape:
+        raise ValueError(
+            f"pipeline parallelism needs a Mesh with axis {axis!r}; "
+            f"enter one (`with mesh:`) or pass mesh= explicitly")
+    if cfg.seq_parallel_axis:
+        raise ValueError(
+            "pipeline_axis and seq_parallel_axis are mutually exclusive "
+            "per stack (both consume the model axis)")
+    kinds = _layer_kinds(cfg)
+    if len(set(kinds)) > 1:
+        raise ValueError(
+            "pipeline parallelism requires a uniform attention kind "
+            f"(stages share one stacked parameter tree); got {kinds}")
+
+    n_stages = mesh.shape[axis]
+    cross = memory is not None
+    ppu = 2 if cross else 1             # pairs per unit (self [+ cross])
+    n_units = cfg.num_layers
+    if n_units % n_stages:
+        raise ValueError(
+            f"num_layers ({n_units}) must divide over {n_stages} pipeline "
+            f"stages on axis {axis!r}")
+    u_local = n_units // n_stages
+
+    b, l, d = x.shape
+    n_micro = cfg.pipeline_microbatches or n_stages
+    dp = 1
+    baxes = _batch_axes(mesh)
+    if baxes is not None:
+        for a in (baxes if isinstance(baxes, tuple) else (baxes,)):
+            dp *= mesh.shape[a]
+    if b % (dp * n_micro):
+        raise ValueError(
+            f"batch {b} must divide into {n_micro} microbatches per "
+            f"data-parallel rank (dp={dp})")
+
+    layer_fns = make_stack_layer_fns(cfg, cross, deterministic,
+                                     compute_dtype)
+    # kinds are uniform => the (f, g) callables repeat every ppu pairs;
+    # stages apply layer_fns[0:ppu] with their own stacked params
+    unit_fns = layer_fns[:ppu]
+
+    # ---- stack per-unit params along a leading axis (sharded over pipe) --
+    layers: List[Any] = params["layers"]
+    stacked = [
+        jax.tree.map(lambda *xs: jnp.stack(xs),
+                     *[layers[u * ppu + j] for u in range(n_units)])
+        for j in range(ppu)
+    ]
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    keys = jax.random.split(rng, n_units * ppu * 2)
+    keys = keys.reshape((n_units, ppu, 2) + keys.shape[1:])
+
+    if mask is None:
+        mask = jnp.ones((b, l), bool)
+    if not cross:
+        memory = jnp.zeros((b, 1, 1), jnp.float32)      # dummy, ignored
+        memory_mask = jnp.ones((b, 1), bool)
+    elif memory_mask is None:
+        memory_mask = jnp.ones(memory.shape[:2], bool)
+
+    perm = [(i, i + 1) for i in range(n_stages - 1)]
+
+    def local_fn(p_stk, keys_stk, x_l, mask_l, mem_l, memmask_l):
+        rank = jax.lax.axis_index(axis)
+        bl = x_l.shape[0]
+        mb = bl // n_micro
+        micro_x = x_l.reshape((n_micro, mb) + x_l.shape[1:])
+        micro_mask = mask_l.reshape((n_micro, mb) + mask_l.shape[1:])
+        micro_mem = mem_l.reshape((n_micro, mb) + mem_l.shape[1:])
+        micro_mm = memmask_l.reshape((n_micro, mb) + memmask_l.shape[1:])
+
+        def stage_fn(h, m_idx):
+            # h: (2, mb, L, D) activation pair; m_idx: microbatch id here
+            h1, h2 = h[0], h[1]
+            msk = jax.lax.dynamic_index_in_dim(micro_mask, m_idx, 0, False)
+            mem = (jax.lax.dynamic_index_in_dim(micro_mem, m_idx, 0, False)
+                   if cross else None)
+            mm = (jax.lax.dynamic_index_in_dim(micro_mm, m_idx, 0, False)
+                  if cross else None)
+            for i in range(u_local):
+                for j, (f, g) in enumerate(unit_fns):
+                    p = jax.tree.map(lambda a: a[i], p_stk[j])
+                    aux = {"mask": msk, "memory_mask": mm,
+                           "rng_f": keys_stk[i, j, 0],
+                           "rng_g": keys_stk[i, j, 1]}
+                    h1 = h1 + f(p["f"], h2, mem, aux, None)[0]
+                    h2 = h2 + g(p["g"], h1, mem, aux)
+            return jnp.stack([h1, h2])
+
+        if cfg.pipeline_remat:
+            stage_fn = jax.checkpoint(stage_fn)
+
+        def tick(carry, t):
+            recv, out_buf = carry
+            feed = jax.lax.dynamic_index_in_dim(
+                micro_x, jnp.clip(t, 0, n_micro - 1), 0, False)
+            feed = jnp.stack([feed, feed]).astype(jnp.float32)
+            inp = jnp.where(rank == 0, feed, recv)
+            h = stage_fn(inp, jnp.clip(t - rank, 0, n_micro - 1))
+            y = (h[0] + h[1]) * 0.5
+            # writes before the pipe fills clamp to slot 0 and are
+            # overwritten at tick S-1 (monotone index, last write wins)
+            out_buf = jax.lax.dynamic_update_index_in_dim(
+                out_buf, y, jnp.clip(t - (n_stages - 1), 0, n_micro - 1), 0)
+            recv = (jax.lax.ppermute(h, axis, perm) if perm
+                    else jnp.zeros_like(h))
+            return (recv, out_buf), None
+
+        recv0 = jnp.zeros((2, mb) + x_l.shape[1:], jnp.float32)
+        out0 = jnp.zeros((n_micro, mb) + x_l.shape[1:], jnp.float32)
+        (_, out_buf), _ = jax.lax.scan(
+            tick, (recv0, out0), jnp.arange(n_micro + n_stages - 1))
+        # only the last stage's buffer holds real outputs; broadcast it
+        out = jnp.where(rank == n_stages - 1, out_buf, 0.0)
+        out = jax.lax.psum(out, axis)
+        return out.reshape(x_l.shape)
+
+    baxes = _batch_axes(mesh)
+    fn = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(baxes), P(baxes), P(baxes), P(baxes)),
+        out_specs=P(baxes),
+        check_vma=False,
+    )
+    return fn(stacked, keys, x.astype(jnp.float32), mask, memory,
+              memory_mask)

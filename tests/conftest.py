@@ -71,6 +71,7 @@ QUICK = [
     # parallelism (mesh, SP, ZeRO)
     "test_mesh.py",
     "test_seq_parallel.py::test_seq_parallel_matches_single_device[allgather-False]",
+    "test_pipeline_parallel.py::test_pipeline_matches_single_device[False-full]",
     "test_zero_sharding.py",
     # quality scalars + CLI surface
     "test_quality.py",

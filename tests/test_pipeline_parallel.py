@@ -1,0 +1,148 @@
+"""Pipeline-parallel stacks on the virtual 8-device mesh must match the
+single-device plain-residual path (PARITY.md §3.4 — beyond-reference
+parallelism row; rtts/parallel/pipeline.py)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from rtts.config import AttentionConfig, MeshConfig, ReformerStackConfig
+from rtts.models.stack import stack_apply, stack_init
+from rtts.parallel.mesh import make_mesh
+
+
+def _cfg(num_layers=4, kind="full", causal=False, **kw):
+    acfg = AttentionConfig(kind=kind, num_heads=2, head_dim=16,
+                           num_hashes=2, num_buckets=8, chunk_length=16,
+                           num_chunks_before=1, use_pallas=False,
+                           flash=False)
+    return ReformerStackConfig(num_layers=num_layers, d_model=32, d_ff=64,
+                               dropout=0.0, reversible=False, causal=causal,
+                               attention=acfg, use_pallas_ffn=False, **kw)
+
+
+def _data(key, b=4, l=64, d=32, mem=False):
+    x = jax.random.normal(key, (b, l, d))
+    mask = jnp.arange(l)[None, :] < jnp.asarray([l, l - 9, l, l - 3])[:, None]
+    if not mem:
+        return x, mask, None, None
+    memory = jax.random.normal(jax.random.fold_in(key, 2), (b, 48, d))
+    mmask = jnp.arange(48)[None, :] < jnp.asarray([48, 40, 48, 30])[:, None]
+    return x, mask, memory, mmask
+
+
+@pytest.mark.parametrize("kind", ["full", "lsh"])
+@pytest.mark.parametrize("cross", [False, True])
+def test_pipeline_matches_single_device(kind, cross):
+    """Forward parity: 4 stages x 2 microbatches-per-stage-default,
+    encoder (self only) and decoder (self + cross) units."""
+    n_dev = 4
+    mesh = make_mesh(MeshConfig(data_parallel=1, model_parallel=n_dev))
+    base = _cfg(kind=kind, causal=cross)
+    key = jax.random.PRNGKey(0)
+    params = stack_init(key, base, cross_attend=cross)
+    x, mask, memory, mmask = _data(jax.random.fold_in(key, 1), mem=cross)
+
+    ref = stack_apply(params, base, x, mask, memory=memory,
+                      memory_mask=mmask, rng=jax.random.PRNGKey(5),
+                      deterministic=True)
+    pp = dataclasses.replace(base, pipeline_axis="model")
+    with mesh:
+        out = jax.jit(lambda p, xx: stack_apply(
+            p, pp, xx, mask, memory=memory, memory_mask=mmask,
+            rng=jax.random.PRNGKey(5), deterministic=True))(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("remat", [True, False])
+def test_pipeline_grads_match_single_device(remat):
+    """Autodiff through the scan+ppermute schedule == plain autograd."""
+    n_dev = 4
+    mesh = make_mesh(MeshConfig(data_parallel=1, model_parallel=n_dev))
+    base = _cfg(num_layers=4, kind="full", causal=True)
+    key = jax.random.PRNGKey(7)
+    params = stack_init(key, base, cross_attend=True)
+    x, mask, memory, mmask = _data(jax.random.fold_in(key, 1), mem=True)
+
+    def loss(cfg):
+        def fn(p, xx, mem):
+            y = stack_apply(p, cfg, xx, mask, memory=mem,
+                            memory_mask=mmask, rng=jax.random.PRNGKey(5),
+                            deterministic=True)
+            return jnp.sum(y * y)
+
+        return fn
+
+    ref_l, ref_g = jax.value_and_grad(loss(base), argnums=(0, 2))(
+        params, x, memory)
+    pp = dataclasses.replace(base, pipeline_axis="model",
+                             pipeline_remat=remat,
+                             pipeline_microbatches=2)
+    with mesh:
+        pp_l, pp_g = jax.jit(jax.value_and_grad(loss(pp), argnums=(0, 2)))(
+            params, x, memory)
+    np.testing.assert_allclose(float(pp_l), float(ref_l), rtol=1e-5)
+    flat_r, _ = jax.tree.flatten(ref_g)
+    flat_p, _ = jax.tree.flatten(pp_g)
+    for a, b in zip(flat_r, flat_p):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=3e-5, rtol=3e-5)
+
+
+def test_pipeline_composes_with_data_parallel():
+    """dp=2 x pipe=4: batch sharded over data, stages over model."""
+    mesh = make_mesh(MeshConfig(data_parallel=2, model_parallel=4))
+    base = _cfg(num_layers=4, kind="full")
+    key = jax.random.PRNGKey(2)
+    params = stack_init(key, base, cross_attend=False)
+    x, mask, _, _ = _data(jax.random.fold_in(key, 1))
+
+    ref = stack_apply(params, base, x, mask, rng=jax.random.PRNGKey(5),
+                      deterministic=True)
+    pp = dataclasses.replace(base, pipeline_axis="model",
+                             pipeline_microbatches=2)
+    with mesh:
+        xs = jax.device_put(x, NamedSharding(mesh, P("data", None, None)))
+        ms = jax.device_put(mask, NamedSharding(mesh, P("data", None)))
+        out = jax.jit(lambda p, xx, mm: stack_apply(
+            p, pp, xx, mm, rng=jax.random.PRNGKey(5),
+            deterministic=True))(params, xs, ms)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_pipeline_validation_errors():
+    mesh = make_mesh(MeshConfig(data_parallel=1, model_parallel=4))
+    key = jax.random.PRNGKey(0)
+    x, mask, _, _ = _data(jax.random.fold_in(key, 1))
+
+    # layers must divide over stages
+    bad = dataclasses.replace(_cfg(num_layers=3), pipeline_axis="model")
+    params3 = stack_init(key, bad, cross_attend=False)
+    with mesh, pytest.raises(ValueError, match="divide over"):
+        stack_apply(params3, bad, x, mask, deterministic=True)
+
+    # uniform kinds required
+    het = dataclasses.replace(
+        _cfg(num_layers=4), pipeline_axis="model",
+        attn_layers=["full", "lsh", "full", "lsh"])
+    params4 = stack_init(key, het, cross_attend=False)
+    with mesh, pytest.raises(ValueError, match="uniform attention kind"):
+        stack_apply(params4, het, x, mask, deterministic=True)
+
+    # mutually exclusive with sequence parallelism
+    both = dataclasses.replace(_cfg(num_layers=4), pipeline_axis="model",
+                               seq_parallel_axis="model")
+    with mesh, pytest.raises(ValueError, match="mutually exclusive"):
+        stack_apply(params4, both, x, mask, deterministic=True)
+
+    # needs a mesh with the axis
+    nomesh = dataclasses.replace(_cfg(num_layers=4), pipeline_axis="model")
+    with pytest.raises(ValueError, match="needs a Mesh"):
+        stack_apply(params4, nomesh, x, mask, deterministic=True)
