@@ -6,8 +6,12 @@ stage the stack's layers across devices and stream microbatches through
 them, GPipe-style.  TPU-native shape — no send/recv runtime, no NCCL:
 
 - layer parameters are STACKED along a leading unit axis and sharded over
-  the ``pipe`` mesh axis with ``shard_map`` (each device materializes only
-  its ``num_layers / n_stages`` layers — the memory win PP exists for);
+  the ``pipe`` mesh axis with ``shard_map`` — during the step each device
+  computes with (and holds gradients for) only its ``num_layers/S``
+  layers.  Resting storage follows the trainer's param shardings
+  (replicated by default): the stacking happens in-graph, so XLA shards
+  the stacked operand without a second resident copy when params are
+  donated;
 - the fill/drain schedule is one ``lax.scan`` of ``M + S - 1`` ticks; at
   every tick each stage applies its layers to the activation pair it
   holds, then the pair hops to the next stage via a single neighbor

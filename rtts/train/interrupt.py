@@ -13,15 +13,13 @@ operator can still hard-kill a run that hangs during the graceful save
 (ctrl-C twice behaves like a plain ctrl-C did).
 
 Multi-host note: preemption signals every host of a slice; each process
-polls its own flag, and all of them leave the (collective-free) Python
-loop at the same step boundary, so no collective is left half-joined.
-Only process 0 performs the checkpoint IO, same as every other save.
-
-Operator caveat: a MANUAL SIGINT/SIGTERM delivered to only ONE host of a
-multi-host job makes that process break out of the SPMD loop while its
-peers keep issuing collectives — the job then hangs until hard-killed.
-Always signal every host (``scripts/run_multihost.sh`` kill does), or
-use ``request_stop()`` behind your own cross-host agreement.
+polls its own flag.  The trainers poll through
+:func:`stop_requested_global`, which on multi-process jobs reaches
+cross-host agreement (a tiny flag all-gather every step boundary), so
+even a MANUAL SIGINT/SIGTERM delivered to only ONE host makes EVERY
+process leave the SPMD loop at the same step — no peer is left issuing
+collectives against a departed rank (the r3 single-signal hang).  Only
+process 0 performs the checkpoint IO, same as every other save.
 """
 
 from __future__ import annotations
@@ -83,3 +81,27 @@ class GracefulStop:
         """Programmatic trigger (tests; cooperative shutdown from another
         thread) — identical effect to the first signal."""
         self._event.set()
+
+
+def stop_requested_global(stop) -> bool:
+    """Cross-host agreement on the stop flag.
+
+    Single-process (the common case): just the local flag, no device
+    work.  Multi-process: every rank all-gathers its local flag and the
+    result is the OR — all processes see True at the same step boundary
+    even when the signal reached only one host, so nobody keeps issuing
+    collectives against a departed peer.  Must be called by EVERY process
+    at the SAME loop point (it is itself a collective); the trainers call
+    it once per step.
+    """
+    local = bool(getattr(stop, "stop_requested", False))
+    import jax
+
+    if jax.process_count() == 1:
+        return local
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    flags = multihost_utils.process_allgather(
+        np.asarray([local], dtype=np.bool_))
+    return bool(np.any(flags))

@@ -38,7 +38,7 @@ from rtts.train.checkpoint import (
     restore_checkpoint,
     save_checkpoint,
 )
-from rtts.train.interrupt import GracefulStop
+from rtts.train.interrupt import GracefulStop, stop_requested_global
 from rtts.train.losses import make_stop_target, tts_loss
 from rtts.train.optim import lr_at_step, make_optimizer
 from rtts.utils.metrics import MetricLogger
@@ -248,7 +248,7 @@ def train_tts(cfg: Config, workdir: str, max_steps: Optional[int] = None,
                         _save(step + 1, metric=None)
                         saved = True
 
-                if stopper.stop_requested:
+                if stop_requested_global(stopper):
                     # preemption / ctrl-C: checkpoint the completed step and
                     # leave cleanly; resume replays from here bit-exactly
                     if is_main and not saved:

@@ -123,8 +123,21 @@ def _run_child(coordinator: str, num_processes: int, process_id: int) -> None:
                                       process_id=process_id))
     assert jax.process_count() == num_processes, jax.process_count()
     loss = _train_loss()
+
+    # cross-host preemption agreement: a stop signaled on ONE process
+    # must be seen by EVERY process at the same step boundary
+    from rtts.train.interrupt import GracefulStop, stop_requested_global
+
+    stop = GracefulStop()
+    assert stop_requested_global(stop) is False
+    if jax.process_index() == 1:
+        stop.request_stop()            # "SIGTERM reached only host 1"
+    assert stop_requested_global(stop) is True, (
+        "single-host stop signal did not propagate to all processes")
+
     if jax.process_index() == 0:
         print(f"MULTIHOST_LOSS {loss!r}", flush=True)
+        print("MULTIHOST_STOP_AGREEMENT OK", flush=True)
 
 
 def _run_ref() -> None:
@@ -187,6 +200,8 @@ def main() -> None:
                 f"child {pid} failed (rc={ch.returncode}):\n{err[-3000:]}")
         outs.append(out)
     mh_loss = _extract("MULTIHOST_LOSS", "".join(outs))
+    if "MULTIHOST_STOP_AGREEMENT OK" not in "".join(outs):
+        raise RuntimeError("cross-host stop agreement check did not run")
 
     diff = abs(mh_loss - ref_loss)
     print(f"multihost_dryrun: 2 processes x {N_PER_PROC} devices, "

@@ -116,3 +116,15 @@ def test_interrupted_vocoder_saves_checkpoint(prepared, tmp_path):
     assert m["interrupted_at_step"] == 3
     ck = latest_checkpoint(work / "checkpoints")
     assert ck is not None and ck.rstrip("/").endswith("3")
+
+
+def test_stop_requested_global_single_process():
+    """Single-process path: pure local-flag passthrough, no device work
+    (the multi-process all-gather agreement is exercised for real by the
+    2-process run in scripts/multihost_dryrun.py)."""
+    from rtts.train.interrupt import GracefulStop, stop_requested_global
+
+    stop = GracefulStop()
+    assert stop_requested_global(stop) is False
+    stop.request_stop()
+    assert stop_requested_global(stop) is True

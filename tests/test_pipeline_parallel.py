@@ -79,13 +79,14 @@ def test_pipeline_grads_match_single_device(remat):
 
         return fn
 
-    ref_l, ref_g = jax.value_and_grad(loss(base), argnums=(0, 2))(
+    ref_l, ref_g = jax.value_and_grad(loss(base), argnums=(0, 1, 2))(
         params, x, memory)
     pp = dataclasses.replace(base, pipeline_axis="model",
                              pipeline_remat=remat,
                              pipeline_microbatches=2)
     with mesh:
-        pp_l, pp_g = jax.jit(jax.value_and_grad(loss(pp), argnums=(0, 2)))(
+        pp_l, pp_g = jax.jit(jax.value_and_grad(loss(pp),
+                                                argnums=(0, 1, 2)))(
             params, x, memory)
     np.testing.assert_allclose(float(pp_l), float(ref_l), rtol=1e-5)
     flat_r, _ = jax.tree.flatten(ref_g)
