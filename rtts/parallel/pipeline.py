@@ -26,7 +26,11 @@ Semantics: identical math to the plain-residual two-stream path
 (``reversible_sequence(reversible=False)``) — each microbatch runs the
 same sequential sublayers, batch rows never interact inside a stack, so
 outputs match the single-device forward to f32 reduction tolerance
-(tested, fwd + grads, encoder and cross-attending decoder).
+(tested, fwd + grads, encoder and cross-attending decoder).  In training
+mode the per-layer rng keys fold in the microbatch index so dropout
+masks (and LSH hash draws) are independent across microbatches — the
+masks differ from the single-device draw (mask shapes are per-microbatch)
+but are unbiased and deterministic given the step rng (tested).
 
 Scheduling notes (why GPipe, not 1F1B): under jit the whole step is one
 XLA program — there is no per-microbatch optimizer tick to interleave, so
@@ -170,9 +174,21 @@ def pipeline_stack_apply(
             for i in range(u_local):
                 for j, (f, g) in enumerate(unit_fns):
                     p = jax.tree.map(lambda a: a[i], p_stk[j])
+                    kf = keys_stk[i, j, 0]
+                    kg = keys_stk[i, j, 1]
+                    if not deterministic:
+                        # a stage applies the same per-layer key to every
+                        # microbatch it sees; without this fold all
+                        # microbatches would draw IDENTICAL dropout masks
+                        # (the single-device path draws one mask over the
+                        # whole (B, L, D) batch).  LSH hash draws fold
+                        # too — per-microbatch rotations are equally
+                        # valid, and eval/parity (deterministic) paths
+                        # keep the batch-invariant draw.
+                        kf = jax.random.fold_in(kf, m_idx)
+                        kg = jax.random.fold_in(kg, m_idx)
                     aux = {"mask": msk, "memory_mask": mm,
-                           "rng_f": keys_stk[i, j, 0],
-                           "rng_g": keys_stk[i, j, 1]}
+                           "rng_f": kf, "rng_g": kg}
                     h1 = h1 + f(p["f"], h2, mem, aux, None)[0]
                     h2 = h2 + g(p["g"], h1, mem, aux)
             return jnp.stack([h1, h2])

@@ -118,6 +118,39 @@ def test_pipeline_composes_with_data_parallel():
                                atol=2e-5, rtol=2e-5)
 
 
+def test_pipeline_dropout_independent_across_microbatches():
+    """Training mode: each microbatch must draw its OWN dropout masks.
+
+    A stage applies the same per-layer keys to every microbatch it sees;
+    pipeline.py folds the microbatch index in, otherwise identical input
+    rows in different microbatches would produce identical outputs."""
+    mesh = make_mesh(MeshConfig(data_parallel=1, model_parallel=2))
+    base = dataclasses.replace(_cfg(num_layers=2), dropout=0.5)
+    key = jax.random.PRNGKey(3)
+    params = stack_init(key, base, cross_attend=False)
+    row = jax.random.normal(jax.random.fold_in(key, 1), (1, 32, 32))
+    x = jnp.tile(row, (4, 1, 1))            # 4 identical rows
+    mask = jnp.ones((4, 32), bool)
+    pp = dataclasses.replace(base, pipeline_axis="model",
+                             pipeline_microbatches=2)
+
+    def run():
+        with mesh:
+            return jax.jit(lambda p, xx: stack_apply(
+                p, pp, xx, mask, rng=jax.random.PRNGKey(9),
+                deterministic=False))(params, x)
+
+    out = np.asarray(run())
+    # rows 0/1 ride microbatch 0, rows 2/3 microbatch 1: same input row,
+    # different microbatch => different masks => different output
+    assert np.abs(out[0] - out[2]).max() > 1e-3
+    assert np.abs(out[1] - out[3]).max() > 1e-3
+    # within a microbatch, rows draw distinct mask rows too
+    assert np.abs(out[0] - out[1]).max() > 1e-3
+    # deterministic given the step rng
+    np.testing.assert_array_equal(out, np.asarray(run()))
+
+
 def test_pipeline_validation_errors():
     mesh = make_mesh(MeshConfig(data_parallel=1, model_parallel=4))
     key = jax.random.PRNGKey(0)
