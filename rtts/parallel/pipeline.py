@@ -98,6 +98,12 @@ def pipeline_stack_apply(
         raise ValueError(
             "pipeline_axis and seq_parallel_axis are mutually exclusive "
             "per stack (both consume the model axis)")
+    if cfg.reversible is True:
+        raise ValueError(
+            "pipeline stages run plain two-stream residuals (activation "
+            "memory is bounded per tick by pipeline_remat, so reversible "
+            "reconstruction buys nothing across stages); set "
+            "reversible: auto or false on a pipelined stack")
     kinds = _layer_kinds(cfg)
     if len(set(kinds)) > 1:
         raise ValueError(

@@ -170,6 +170,12 @@ def test_pipeline_validation_errors():
     with mesh, pytest.raises(ValueError, match="uniform attention kind"):
         stack_apply(params4, het, x, mask, deterministic=True)
 
+    # explicit reversible=True is not silently ignored
+    rev = dataclasses.replace(_cfg(num_layers=4), pipeline_axis="model",
+                              reversible=True)
+    with mesh, pytest.raises(ValueError, match="reversible"):
+        stack_apply(params4, rev, x, mask, deterministic=True)
+
     # mutually exclusive with sequence parallelism
     both = dataclasses.replace(_cfg(num_layers=4), pipeline_axis="model",
                                seq_parallel_axis="model")
