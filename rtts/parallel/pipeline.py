@@ -27,10 +27,12 @@ Semantics: identical math to the plain-residual two-stream path
 same sequential sublayers, batch rows never interact inside a stack, so
 outputs match the single-device forward to f32 reduction tolerance
 (tested, fwd + grads, encoder and cross-attending decoder).  In training
-mode the per-layer rng keys fold in the microbatch index so dropout
-masks (and LSH hash draws) are independent across microbatches — the
-masks differ from the single-device draw (mask shapes are per-microbatch)
-but are unbiased and deterministic given the step rng (tested).
+mode with dropout enabled the per-layer rng keys fold in the microbatch
+index so dropout masks (and, as a side effect, LSH hash draws) are
+independent across microbatches — the masks differ from the
+single-device draw (mask shapes are per-microbatch) but are unbiased and
+deterministic given the step rng; at dropout 0 the keys match the
+sequential schedule exactly, so train-mode parity holds (both tested).
 
 Scheduling notes (why GPipe, not 1F1B): under jit the whole step is one
 XLA program — there is no per-microbatch optimizer tick to interleave, so
@@ -132,6 +134,17 @@ def pipeline_stack_apply(
             f"batch {b} must divide into {n_micro} microbatches per "
             f"data-parallel rank (dp={dp})")
 
+    # in training mode WITH dropout, each microbatch must draw its own
+    # masks: a stage applies the same per-layer keys to every microbatch
+    # it sees, so without a fold all microbatches would share identical
+    # dropout masks.  The fold also varies the LSH hash draw per
+    # microbatch (equally valid rotations), so it engages only when
+    # dropout actually needs it — at p=0 the keys match the sequential
+    # path exactly and train-mode outputs stay parity-equal (tested).
+    a = cfg.attention
+    fold_micro = (not deterministic
+                  and (cfg.dropout > 0.0 or a.attention_dropout > 0.0))
+
     layer_fns = make_stack_layer_fns(cfg, cross, deterministic,
                                      compute_dtype)
     # kinds are uniform => the (f, g) callables repeat every ppu pairs;
@@ -182,15 +195,7 @@ def pipeline_stack_apply(
                     p = jax.tree.map(lambda a: a[i], p_stk[j])
                     kf = keys_stk[i, j, 0]
                     kg = keys_stk[i, j, 1]
-                    if not deterministic:
-                        # a stage applies the same per-layer key to every
-                        # microbatch it sees; without this fold all
-                        # microbatches would draw IDENTICAL dropout masks
-                        # (the single-device path draws one mask over the
-                        # whole (B, L, D) batch).  LSH hash draws fold
-                        # too — per-microbatch rotations are equally
-                        # valid, and eval/parity (deterministic) paths
-                        # keep the batch-invariant draw.
+                    if fold_micro:
                         kf = jax.random.fold_in(kf, m_idx)
                         kg = jax.random.fold_in(kg, m_idx)
                     aux = {"mask": msk, "memory_mask": mm,

@@ -118,6 +118,63 @@ def test_pipeline_composes_with_data_parallel():
                                atol=2e-5, rtol=2e-5)
 
 
+def test_pipeline_composes_with_zero_sharding():
+    """Full TTS train step: decoder staged over the pipe (model) axis,
+    Adam moments ZeRO-sharded over data — loss and updated params match
+    the replicated non-pipelined step.  Train mode at dropout 0: the
+    pipeline's per-layer key schedule matches the sequential path exactly
+    (fold_micro engages only when dropout needs it), so LSH hash draws
+    and therefore the step numerics are identical."""
+    import dataclasses as dc
+
+    from rtts.config import OptimConfig
+    from rtts.models import reformer_tts as M
+    from rtts.parallel.sharding import (batch_sharding, make_param_shardings,
+                                        opt_state_shardings)
+    from rtts.text import vocab_size
+    from rtts.train.optim import make_optimizer
+    from rtts.train.train_tts import make_train_step
+    from tests.test_model_lsh import lsh_cfg
+
+    base = lsh_cfg(reversible=False)
+    piped = dc.replace(base, decoder=dc.replace(base.decoder,
+                                                pipeline_axis="model"))
+    params = M.init(jax.random.PRNGKey(0), base)
+    optimizer = make_optimizer(OptimConfig(warmup_steps=10, total_steps=100))
+    key = jax.random.PRNGKey(9)
+    B, L, T = 4, 64, 64
+    batch = {
+        "tokens": jax.random.randint(key, (B, L), 3, vocab_size()),
+        "token_mask": jnp.ones((B, L), bool),
+        "mel": jax.random.normal(key, (B, T, 20)) * 0.5,
+        "mel_mask": jnp.ones((B, T), bool),
+    }
+    mesh = make_mesh(MeshConfig(data_parallel=2, model_parallel=2),
+                     jax.devices()[:4])
+
+    def run(cfg, zero):
+        opt_state = optimizer.init(params)
+        with mesh:
+            p = jax.device_put(params,
+                               make_param_shardings(params, mesh,
+                                                    tensor_parallel=False))
+            o = jax.device_put(opt_state,
+                               opt_state_shardings(opt_state, mesh,
+                                                   tensor_parallel=False,
+                                                   zero=zero))
+            b = {k: jax.device_put(v, batch_sharding(mesh, v.ndim))
+                 for k, v in batch.items()}
+            step = jax.jit(make_train_step(cfg, optimizer))
+            p, o, metrics = step(p, o, b, jax.random.PRNGKey(5))
+        return p, float(metrics["loss"])
+
+    p_ref, l_ref = run(base, zero=False)
+    p_pp, l_pp = run(piped, zero=True)
+    np.testing.assert_allclose(l_pp, l_ref, rtol=1e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5), p_pp, p_ref)
+
+
 def test_pipeline_dropout_independent_across_microbatches():
     """Training mode: each microbatch must draw its OWN dropout masks.
 
