@@ -229,6 +229,14 @@ class ReformerStackConfig:
     pipeline_axis: Optional[str] = None
     pipeline_microbatches: int = 0
     pipeline_remat: bool = True
+    # virtual stages per device (Megatron-style interleaved / circular
+    # schedule): each device holds `v` non-contiguous layer chunks and the
+    # activation makes `v` laps around the stage ring, shrinking the
+    # bubble to (S-1)/(v*M + S-1) in ticks of 1/v the work — a v× smaller
+    # bubble at FIXED microbatch size (the alternative, raising M, shrinks
+    # microbatches and starves the MXU).  Needs num_layers % (v*S) == 0
+    # and microbatches a multiple of S.  1 = plain GPipe.
+    pipeline_interleave: int = 1
 
 
 @dataclass(frozen=True)

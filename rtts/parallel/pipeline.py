@@ -40,6 +40,19 @@ XLA program — there is no per-microbatch optimizer tick to interleave, so
 complexity remains; the bubble fraction (S-1)/(M+S-1) is controlled by
 ``pipeline_microbatches``.
 
+``pipeline_interleave: v`` adds the Megatron-style interleaved (circular)
+schedule: each device holds ``v`` non-contiguous layer chunks (device s
+gets chunks s, S+s, …, (v-1)S+s) and the activation pair makes ``v`` laps
+around the stage ring (the last stage's ppermute wraps to stage 0).
+Microbatches are injected in groups of S at consecutive ticks — within a
+group the circulating laps never collide (m + c is injective per device
+over a vS window), and group g starts at tick g·vS, exactly when stage 0
+finishes the previous group's last lap.  Total schedule: v·M + S - 1
+ticks of 1/v the per-tick work, so the bubble shrinks v× at FIXED
+microbatch size (raising M instead shrinks microbatches and starves the
+MXU).  Parity with the sequential path is tick-schedule-independent and
+tested at v=2 (fwd + grads).
+
 Constraints (validated with actionable errors): uniform attention kind
 across layers (stages index one stacked parameter tree), ``num_layers``
 divisible by the stage count, local batch divisible by the microbatch
@@ -120,10 +133,21 @@ def pipeline_stack_apply(
         raise ValueError(
             f"num_layers ({n_units}) must divide over {n_stages} pipeline "
             f"stages on axis {axis!r}")
-    u_local = n_units // n_stages
+    v = max(1, cfg.pipeline_interleave)
+    if n_units % (v * n_stages):
+        raise ValueError(
+            f"num_layers ({n_units}) must divide over "
+            f"pipeline_interleave ({v}) x {n_stages} stages "
+            f"= {v * n_stages} layer chunks")
+    u_chunk = n_units // (v * n_stages)
 
     b, l, d = x.shape
     n_micro = cfg.pipeline_microbatches or n_stages
+    if v > 1 and n_micro % n_stages:
+        raise ValueError(
+            f"pipeline_interleave={v} injects microbatches in groups of "
+            f"the stage count; pipeline_microbatches ({n_micro}) must be "
+            f"a multiple of {n_stages}")
     dp = 1
     baxes = _batch_axes(mesh)
     if baxes is not None:
@@ -152,16 +176,29 @@ def pipeline_stack_apply(
     unit_fns = layer_fns[:ppu]
 
     # ---- stack per-unit params along a leading axis (sharded over pipe) --
+    # Stacking order is SHARD order: device s's u_chunk*v-slice holds its
+    # chunks lap-major (chunk s units, then chunk S+s units, …), so the
+    # interleaved schedule indexes its lap-k chunk at [k*u_chunk, +u_chunk).
+    # At v=1 this is the identity (contiguous blocks per stage).
+    order = [(k * n_stages + s) * u_chunk + i
+             for s in range(n_stages)
+             for k in range(v)
+             for i in range(u_chunk)]
     layers: List[Any] = params["layers"]
     stacked = [
         jax.tree.map(lambda *xs: jnp.stack(xs),
-                     *[layers[u * ppu + j] for u in range(n_units)])
+                     *[layers[u * ppu + j] for u in order])
         for j in range(ppu)
     ]
     if rng is None:
         rng = jax.random.PRNGKey(0)
     keys = jax.random.split(rng, n_units * ppu * 2)
     keys = keys.reshape((n_units, ppu, 2) + keys.shape[1:])
+    if v > 1:
+        # layer u's key travels with layer u's params, so the per-layer
+        # key assignment (and LSH hash draws at dropout 0) is schedule-
+        # independent and matches the sequential path
+        keys = keys[jnp.asarray(order)]
 
     if mask is None:
         mask = jnp.ones((b, l), bool)
@@ -171,7 +208,12 @@ def pipeline_stack_apply(
     elif memory_mask is None:
         memory_mask = jnp.ones(memory.shape[:2], bool)
 
-    perm = [(i, i + 1) for i in range(n_stages - 1)]
+    # ring: the wrap hop (S-1 -> 0) carries lap-k activations back to
+    # stage 0 as lap k+1; at v=1 stage 0 always injects, so whatever the
+    # wrap delivers is unused (and its cotangent is zero through the
+    # `where`) — one perm serves both schedules
+    perm = ([(i, (i + 1) % n_stages) for i in range(n_stages)]
+            if n_stages > 1 else [])
 
     def local_fn(p_stk, keys_stk, x_l, mask_l, mem_l, memmask_l):
         rank = jax.lax.axis_index(axis)
@@ -182,19 +224,32 @@ def pipeline_stack_apply(
         micro_mem = mem_l.reshape((n_micro, mb) + mem_l.shape[1:])
         micro_mm = memmask_l.reshape((n_micro, mb) + memmask_l.shape[1:])
 
-        def stage_fn(h, m_idx):
-            # h: (2, mb, L, D) activation pair; m_idx: microbatch id here
+        def stage_fn(h, m_idx, lap):
+            # h: (2, mb, L, D) activation pair; m_idx: microbatch id here;
+            # lap: which of this device's v chunks to apply (0 at v=1)
             h1, h2 = h[0], h[1]
             msk = jax.lax.dynamic_index_in_dim(micro_mask, m_idx, 0, False)
             mem = (jax.lax.dynamic_index_in_dim(micro_mem, m_idx, 0, False)
                    if cross else None)
             mm = (jax.lax.dynamic_index_in_dim(micro_mm, m_idx, 0, False)
                   if cross else None)
-            for i in range(u_local):
+            for i in range(u_chunk):
                 for j, (f, g) in enumerate(unit_fns):
-                    p = jax.tree.map(lambda a: a[i], p_stk[j])
-                    kf = keys_stk[i, j, 0]
-                    kg = keys_stk[i, j, 1]
+                    if v == 1:
+                        p = jax.tree.map(lambda a: a[i], p_stk[j])
+                        kf = keys_stk[i, j, 0]
+                        kg = keys_stk[i, j, 1]
+                    else:
+                        # lap is traced: the local shard is lap-major
+                        # (see the stacking-order comment above)
+                        idx = lap * u_chunk + i
+                        p = jax.tree.map(
+                            lambda a: jax.lax.dynamic_index_in_dim(
+                                a, idx, 0, False), p_stk[j])
+                        ku = jax.lax.dynamic_index_in_dim(
+                            keys_stk, idx, 0, False)
+                        kf = ku[j, 0]
+                        kg = ku[j, 1]
                     if fold_micro:
                         kf = jax.random.fold_in(kf, m_idx)
                         kg = jax.random.fold_in(kg, m_idx)
@@ -209,26 +264,46 @@ def pipeline_stack_apply(
 
         def tick(carry, t):
             recv, out_buf = carry
-            feed = jax.lax.dynamic_index_in_dim(
-                micro_x, jnp.clip(t, 0, n_micro - 1), 0, False)
+            t_rel = t - rank
+            if v == 1:
+                lap = 0
+                m = t_rel
+                inject = rank == 0
+                at_last_chunk = None        # statically: every tick
+            else:
+                # microbatch m enters chunk c at tick m' + c where
+                # m' = (m // S)*vS + (m % S) (groups of S injected at
+                # consecutive ticks every vS); inverting at (t, rank):
+                phi = jnp.mod(t_rel, v * n_stages)
+                lap = phi // n_stages
+                m = ((t_rel - phi) // (v * n_stages)) * n_stages \
+                    + (phi % n_stages)
+                inject = (rank == 0) & (lap == 0)
+                at_last_chunk = lap == v - 1
+            m_c = jnp.clip(m, 0, n_micro - 1)
+            feed = jax.lax.dynamic_index_in_dim(micro_x, m_c, 0, False)
             feed = jnp.stack([feed, feed]).astype(jnp.float32)
-            inp = jnp.where(rank == 0, feed, recv)
-            h = stage_fn(inp, jnp.clip(t - rank, 0, n_micro - 1))
+            inp = jnp.where(inject, feed, recv)
+            h = stage_fn(inp, m_c, lap)
             y = (h[0] + h[1]) * 0.5
-            # writes before the pipe fills clamp to slot 0 and are
-            # overwritten at tick S-1 (monotone index, last write wins)
+            # only the final chunk's output of a real microbatch lands in
+            # slot m; fill/drain garbage and intermediate laps are routed
+            # to the dummy slot n_micro
+            valid = (m >= 0) & (m < n_micro)
+            if at_last_chunk is not None:
+                valid = valid & at_last_chunk
+            slot = jnp.where(valid, m_c, n_micro)
             out_buf = jax.lax.dynamic_update_index_in_dim(
-                out_buf, y, jnp.clip(t - (n_stages - 1), 0, n_micro - 1), 0)
-            recv = (jax.lax.ppermute(h, axis, perm) if perm
-                    else jnp.zeros_like(h))
+                out_buf, y, slot, 0)
+            recv = jax.lax.ppermute(h, axis, perm) if perm else h
             return (recv, out_buf), None
 
         recv0 = jnp.zeros((2, mb) + x_l.shape[1:], jnp.float32)
-        out0 = jnp.zeros((n_micro, mb) + x_l.shape[1:], jnp.float32)
+        out0 = jnp.zeros((n_micro + 1, mb) + x_l.shape[1:], jnp.float32)
         (_, out_buf), _ = jax.lax.scan(
-            tick, (recv0, out0), jnp.arange(n_micro + n_stages - 1))
+            tick, (recv0, out0), jnp.arange(v * n_micro + n_stages - 1))
         # only the last stage's buffer holds real outputs; broadcast it
-        out = jnp.where(rank == n_stages - 1, out_buf, 0.0)
+        out = jnp.where(rank == n_stages - 1, out_buf[:n_micro], 0.0)
         out = jax.lax.psum(out, axis)
         return out.reshape(x_l.shape)
 

@@ -38,10 +38,13 @@ def _data(key, b=4, l=64, d=32, mem=False):
 
 @pytest.mark.parametrize("kind", ["full", "lsh"])
 @pytest.mark.parametrize("cross", [False, True])
-def test_pipeline_matches_single_device(kind, cross):
+@pytest.mark.parametrize("interleave", [1, 2])
+def test_pipeline_matches_single_device(kind, cross, interleave):
     """Forward parity: 4 stages x 2 microbatches-per-stage-default,
-    encoder (self only) and decoder (self + cross) units."""
-    n_dev = 4
+    encoder (self only) and decoder (self + cross) units; interleave=2
+    runs the circular schedule (each device holds 2 non-contiguous layer
+    chunks, activations make 2 laps around the ring)."""
+    n_dev = 4 // interleave
     mesh = make_mesh(MeshConfig(data_parallel=1, model_parallel=n_dev))
     base = _cfg(kind=kind, causal=cross)
     key = jax.random.PRNGKey(0)
@@ -51,7 +54,8 @@ def test_pipeline_matches_single_device(kind, cross):
     ref = stack_apply(params, base, x, mask, memory=memory,
                       memory_mask=mmask, rng=jax.random.PRNGKey(5),
                       deterministic=True)
-    pp = dataclasses.replace(base, pipeline_axis="model")
+    pp = dataclasses.replace(base, pipeline_axis="model",
+                             pipeline_interleave=interleave)
     with mesh:
         out = jax.jit(lambda p, xx: stack_apply(
             p, pp, xx, mask, memory=memory, memory_mask=mmask,
@@ -60,10 +64,15 @@ def test_pipeline_matches_single_device(kind, cross):
                                atol=2e-5, rtol=2e-5)
 
 
-@pytest.mark.parametrize("remat", [True, False])
-def test_pipeline_grads_match_single_device(remat):
-    """Autodiff through the scan+ppermute schedule == plain autograd."""
-    n_dev = 4
+@pytest.mark.parametrize("remat,interleave", [(True, 1), (False, 1),
+                                              (True, 2), (False, 2)])
+def test_pipeline_grads_match_single_device(remat, interleave):
+    """Autodiff through the scan+ppermute schedule == plain autograd.
+
+    interleave=2 differentiates through the circular schedule's dynamic
+    chunk indexing (transpose = dynamic-slice-add into the stacked tree)
+    and a multi-group injection (M=4 over S=2 stages, 2 groups)."""
+    n_dev = 4 // interleave
     mesh = make_mesh(MeshConfig(data_parallel=1, model_parallel=n_dev))
     base = _cfg(num_layers=4, kind="full", causal=True)
     key = jax.random.PRNGKey(7)
@@ -83,7 +92,8 @@ def test_pipeline_grads_match_single_device(remat):
         params, x, memory)
     pp = dataclasses.replace(base, pipeline_axis="model",
                              pipeline_remat=remat,
-                             pipeline_microbatches=2)
+                             pipeline_interleave=interleave,
+                             pipeline_microbatches=2 * interleave)
     with mesh:
         pp_l, pp_g = jax.jit(jax.value_and_grad(loss(pp),
                                                 argnums=(0, 1, 2)))(
@@ -175,20 +185,24 @@ def test_pipeline_composes_with_zero_sharding():
         np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5), p_pp, p_ref)
 
 
-def test_pipeline_dropout_independent_across_microbatches():
+@pytest.mark.parametrize("interleave", [1, 2])
+def test_pipeline_dropout_independent_across_microbatches(interleave):
     """Training mode: each microbatch must draw its OWN dropout masks.
 
     A stage applies the same per-layer keys to every microbatch it sees;
     pipeline.py folds the microbatch index in, otherwise identical input
-    rows in different microbatches would produce identical outputs."""
+    rows in different microbatches would produce identical outputs.  At
+    interleave=2 the fold uses the circular schedule's recovered
+    microbatch index."""
     mesh = make_mesh(MeshConfig(data_parallel=1, model_parallel=2))
-    base = dataclasses.replace(_cfg(num_layers=2), dropout=0.5)
+    base = dataclasses.replace(_cfg(num_layers=2 * interleave), dropout=0.5)
     key = jax.random.PRNGKey(3)
     params = stack_init(key, base, cross_attend=False)
     row = jax.random.normal(jax.random.fold_in(key, 1), (1, 32, 32))
     x = jnp.tile(row, (4, 1, 1))            # 4 identical rows
     mask = jnp.ones((4, 32), bool)
     pp = dataclasses.replace(base, pipeline_axis="model",
+                             pipeline_interleave=interleave,
                              pipeline_microbatches=2)
 
     def run():
@@ -218,6 +232,21 @@ def test_pipeline_validation_errors():
     params3 = stack_init(key, bad, cross_attend=False)
     with mesh, pytest.raises(ValueError, match="divide over"):
         stack_apply(params3, bad, x, mask, deterministic=True)
+
+    # interleave: layers must divide over v x S chunks
+    badv = dataclasses.replace(_cfg(num_layers=4), pipeline_axis="model",
+                               pipeline_interleave=2)  # 4 % (2*4) != 0
+    paramsv = stack_init(key, badv, cross_attend=False)
+    with mesh, pytest.raises(ValueError, match="pipeline_interleave"):
+        stack_apply(paramsv, badv, x, mask, deterministic=True)
+
+    # interleave: microbatches must come in groups of S
+    badm = dataclasses.replace(_cfg(num_layers=8), pipeline_axis="model",
+                               pipeline_interleave=2,
+                               pipeline_microbatches=2)  # 2 % 4 != 0
+    params8 = stack_init(key, badm, cross_attend=False)
+    with mesh, pytest.raises(ValueError, match="groups of"):
+        stack_apply(params8, badm, x, mask, deterministic=True)
 
     # uniform kinds required
     het = dataclasses.replace(
