@@ -79,6 +79,7 @@ def full_attention(
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
     impl: str = "naive",
+    probs_sink: Optional[list] = None,
 ) -> jnp.ndarray:
     """Masked softmax attention on (B, H, L, d) tensors.
 
@@ -88,10 +89,15 @@ def full_attention(
     ``impl="flash"`` routes through the Pallas online-softmax kernel (no
     L^2 score tensor in HBM; rtts/ops/flash_attention.py), where dropout
     runs in-kernel from a counter-based hash seeded off the same key.
+    ``probs_sink``: a Python list to append the float32 PRE-dropout
+    probability tensor (B, H, Lq, Lk) to (guided-attention loss capture);
+    forces the naive path, since flash never materializes the probs.
     """
     d = q.shape[-1]
     if scale is None:
         scale = d ** -0.5
+    if probs_sink is not None:
+        impl = "naive"
     if impl == "flash":
         from rtts.ops.flash_attention import flash_attend
 
@@ -108,6 +114,8 @@ def full_attention(
         ki = jnp.arange(lk)[None, :]
         logits = jnp.where(qi >= ki, logits, MASK_VALUE)
     probs = jax.nn.softmax(logits, axis=-1)
+    if probs_sink is not None:
+        probs_sink.append(probs)
     probs = dropout(dropout_rng, probs, dropout_rate,
                     deterministic=dropout_rng is None)
     return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
@@ -123,14 +131,18 @@ def cross_attention(
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
     impl: str = "naive",
+    probs_sink: Optional[list] = None,
 ) -> jnp.ndarray:
-    """Standard decoder->encoder attention: x (B,Lq,D), memory (B,Lk,D)."""
+    """Standard decoder->encoder attention: x (B,Lq,D), memory (B,Lk,D).
+
+    ``probs_sink``: optional list collecting the (B, H, Lq, Lk) float32
+    pre-dropout attention probabilities (see ``full_attention``)."""
     q = _split_heads(dense(params["w_q"], x, compute_dtype), num_heads)
     k = _split_heads(dense(params["w_k"], memory, compute_dtype), num_heads)
     v = _split_heads(dense(params["w_v"], memory, compute_dtype), num_heads)
     out = full_attention(q, k, v, kv_mask=memory_mask, causal=False,
                          dropout_rate=dropout_rate, dropout_rng=dropout_rng,
-                         impl=impl)
+                         impl=impl, probs_sink=probs_sink)
     return dense(params["w_o"], _merge_heads(out), compute_dtype)
 
 

@@ -273,6 +273,17 @@ class ReformerTTSConfig:
     # stop token head
     stop_threshold: float = 0.5
     stop_pos_weight: float = 8.0      # BCE positive-class weight (rare stops)
+    # guided attention (beyond-reference, opt-in): soft-diagonal prior on the
+    # decoder cross-attention (Tachibana et al. 2017, DC-TTS).  weight > 0
+    # adds  w * mean(A[t,n] * (1 - exp(-(n/N - t/T)^2 / 2 sigma^2)))  to the
+    # training loss, penalizing attention mass far from the diagonal —
+    # accelerates alignment (the `attn_diagonality` eval scalar) and reduces
+    # stop overruns on free-running decodes.  Requires plain residuals on
+    # the decoder (the prob capture cannot cross the reversible custom_vjp
+    # boundary) and is incompatible with pipeline_axis; cross-attention
+    # layers run the naive (prob-materializing) path while enabled.
+    guided_attention_weight: float = 0.0
+    guided_attention_sigma: float = 0.2
     # frames emitted per decoder step (Tacotron-lineage "outputs per step"):
     # r>1 cuts AR decode steps by r; r=1 is the reference-exact default
     reduction_factor: int = 1

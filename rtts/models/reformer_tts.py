@@ -231,8 +231,15 @@ def decode_train(
     memory_mask: jnp.ndarray,
     rng: Optional[jax.Array] = None,
     deterministic: bool = True,
+    attn_sink: Optional[list] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Teacher-forced decoder pass -> (mel_pre, mel_post, stop_logits)."""
+    """Teacher-forced decoder pass -> (mel_pre, mel_post, stop_logits).
+
+    ``attn_sink``: optional list capturing each decoder cross-attention
+    layer's probabilities (B, H, T_groups_padded, L_tokens) float32 —
+    consumed by the guided-attention loss (rtts/train/losses.py).  The
+    query axis is the PADDED group axis; the loss masks by true lengths.
+    """
     cdt = _dtype(cfg.compute_dtype)
     r = cfg.reduction_factor
     r0, r1, r2 = (jax.random.split(rng, 3) if rng is not None
@@ -258,7 +265,8 @@ def decode_train(
     h = h * mel_mask[..., None].astype(h.dtype)
     h = stack_apply(params["decoder"], cfg.decoder, h, mel_mask,
                     memory=memory, memory_mask=memory_mask, rng=r2,
-                    deterministic=deterministic, compute_dtype=cdt)
+                    deterministic=deterministic, compute_dtype=cdt,
+                    attn_sink=attn_sink)
     h = h[:, :orig_g]
     mel_pre = dense(params["mel_head"], h, cdt).astype(jnp.float32)
     stop_logits = dense(params["stop_head"], h, cdt)[..., 0].astype(jnp.float32)
@@ -291,10 +299,12 @@ def forward(
     tokens: jnp.ndarray, token_mask: jnp.ndarray,
     mel_target: jnp.ndarray, mel_mask: jnp.ndarray,
     rng: Optional[jax.Array] = None, deterministic: bool = True,
+    attn_sink: Optional[list] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Full teacher-forced forward -> (mel_pre, mel_post, stop_logits)."""
     r_enc, r_dec = (jax.random.split(rng) if rng is not None else (None, None))
     memory = encode(params, cfg, tokens, token_mask, r_enc, deterministic)
     return decode_train(params, cfg,
                         shift_mel(mel_target, cfg.reduction_factor), mel_mask,
-                        memory, token_mask, r_dec, deterministic)
+                        memory, token_mask, r_dec, deterministic,
+                        attn_sink=attn_sink)

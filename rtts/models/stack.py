@@ -138,6 +138,7 @@ def make_stack_layer_fns(
             num_heads=a.num_heads, compute_dtype=compute_dtype,
             dropout_rate=a.attention_dropout, dropout_rng=drop_rng,
             impl=resolve_flash_impl(a.flash, h.shape[1], memory.shape[1]),
+            probs_sink=aux.get("attn_sink"),
         )
         out = dropout(jax.random.fold_in(aux["rng_f"], 1), out, cfg.dropout,
                       deterministic)
@@ -232,9 +233,22 @@ def stack_apply(
     rng: Optional[jax.Array] = None,
     deterministic: bool = True,
     compute_dtype=None,
+    attn_sink: Optional[list] = None,
 ) -> jnp.ndarray:
-    """Run the stack on x: (B, L, D) -> (B, L, D)."""
+    """Run the stack on x: (B, L, D) -> (B, L, D).
+
+    ``attn_sink``: optional Python list that collects each cross-attention
+    layer's float32 probability tensor (B, H, L, Lm) during tracing
+    (guided-attention loss; rtts/train/losses.py).  Requires the plain
+    residual path — the captured tracers cannot cross the reversible
+    custom_vjp or the pipeline shard_map/scan boundaries.
+    """
     cross_attend = memory is not None
+    if attn_sink is not None and cfg.pipeline_axis:
+        raise ValueError(
+            "guided attention (attn_sink) cannot capture cross-attention "
+            "probabilities through the pipeline scan; disable "
+            "pipeline_axis or guided_attention_weight for this stack")
     if cfg.pipeline_axis:
         from rtts.parallel.pipeline import pipeline_stack_apply
 
@@ -253,6 +267,7 @@ def stack_apply(
             "memory_mask": memory_mask,
             "rng_f": layer_keys[2 * i],
             "rng_g": layer_keys[2 * i + 1],
+            **({"attn_sink": attn_sink} if attn_sink is not None else {}),
         }
         for i in range(n)
     ]
@@ -265,10 +280,17 @@ def stack_apply(
     # casts break fusion; BENCH.md r3 "step parts".)
     from rtts.config import resolve_reversible
 
+    rev = resolve_reversible(
+        cfg, x.shape[0], x.shape[1],
+        memory.shape[1] if memory is not None else None)
+    if attn_sink is not None and rev:
+        raise ValueError(
+            "guided attention (attn_sink) requires plain residuals — the "
+            "captured probabilities cannot cross the reversible custom_vjp "
+            "boundary; set reversible: false on this stack (resolved "
+            f"reversible=True at shape {tuple(x.shape)})")
     y = reversible_sequence(
         layer_fns, params["layers"], x.astype(jnp.float32), memory, aux_list,
-        reversible=resolve_reversible(
-            cfg, x.shape[0], x.shape[1],
-            memory.shape[1] if memory is not None else None),
+        reversible=rev,
     )
     return layer_norm(params["final_ln"], y)

@@ -58,6 +58,49 @@ def tts_loss(
     }
 
 
+def guided_attention_loss(
+    probs_list,
+    token_mask: jnp.ndarray,          # (B, L) bool
+    mel_mask: jnp.ndarray,            # (B, T) bool, frame rate
+    reduction_factor: int = 1,
+    sigma: float = 0.2,
+) -> jnp.ndarray:
+    """Soft-diagonal guided-attention penalty (Tachibana et al. 2017).
+
+    ``probs_list``: per-cross-layer attention probabilities, each
+    (B, H, T_groups_padded, L_tokens) float32 — the ``attn_sink`` capture
+    from the teacher-forced forward (rtts/models/reformer_tts.py).
+
+    For each example the penalty weight over (decoder group t, token n) is
+    ``w[t, n] = 1 - exp(-(n/N - t/T)^2 / (2 sigma^2))`` with N/T the TRUE
+    token/group counts, so a perfectly diagonal alignment pays ~0 and mass
+    parked far off-diagonal pays ~1.  Each attention row sums to 1, so the
+    per-row penalty ``sum_n A[t, n] * w[t, n]`` is in [0, 1]; the loss is
+    its mean over valid rows, heads, and layers — scale-free in batch
+    shape, so the knob's weight means the same thing at any padding.
+    """
+    n_tok = jnp.sum(token_mask.astype(jnp.float32), axis=1)          # (B,)
+    n_frames = jnp.sum(mel_mask.astype(jnp.int32), axis=1)
+    r = max(1, reduction_factor)
+    n_groups = ((n_frames + r - 1) // r).astype(jnp.float32)         # (B,)
+
+    total = jnp.float32(0.0)
+    for probs in probs_list:
+        _, _, tg, lk = probs.shape
+        t = jnp.arange(tg, dtype=jnp.float32)[None, :, None]         # (1,T,1)
+        n = jnp.arange(lk, dtype=jnp.float32)[None, None, :]         # (1,1,L)
+        tt = (t + 0.5) / jnp.maximum(n_groups, 1.0)[:, None, None]
+        nn = (n + 0.5) / jnp.maximum(n_tok, 1.0)[:, None, None]
+        w = 1.0 - jnp.exp(-jnp.square(nn - tt) / (2.0 * sigma * sigma))
+        valid_t = t < n_groups[:, None, None]                        # (B,T,1)
+        valid_n = n < n_tok[:, None, None]                           # (B,1,L)
+        w = jnp.where(valid_t & valid_n, w, 0.0)                     # (B,T,L)
+        row_pen = jnp.sum(probs.astype(jnp.float32) * w[:, None], axis=-1)
+        rows = jnp.maximum(jnp.sum(valid_t[..., 0]), 1.0) * probs.shape[1]
+        total = total + jnp.sum(row_pen) / rows
+    return total / jnp.float32(max(1, len(probs_list)))
+
+
 def make_stop_target(mel_mask: jnp.ndarray) -> jnp.ndarray:
     """Stop target = 1 at the last valid frame of each utterance."""
     lengths = jnp.sum(mel_mask.astype(jnp.int32), axis=1)

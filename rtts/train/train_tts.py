@@ -45,14 +45,29 @@ from rtts.utils.metrics import MetricLogger
 
 
 def make_train_step(model_cfg, optimizer):
+    gal_w = model_cfg.guided_attention_weight
+
     def train_step(params, opt_state, batch, rng):
         def loss_fn(p):
+            sink = [] if gal_w > 0.0 else None
             pre, post, stop = M.forward(
                 p, model_cfg, batch["tokens"], batch["token_mask"],
-                batch["mel"], batch["mel_mask"], rng=rng, deterministic=False)
-            return tts_loss(pre, post, stop, batch["mel"],
-                            make_stop_target(batch["mel_mask"]),
-                            batch["mel_mask"], model_cfg.stop_pos_weight)
+                batch["mel"], batch["mel_mask"], rng=rng, deterministic=False,
+                attn_sink=sink)
+            total, metrics = tts_loss(pre, post, stop, batch["mel"],
+                                      make_stop_target(batch["mel_mask"]),
+                                      batch["mel_mask"],
+                                      model_cfg.stop_pos_weight)
+            if sink is not None:
+                from rtts.train.losses import guided_attention_loss
+
+                gal = guided_attention_loss(
+                    sink, batch["token_mask"], batch["mel_mask"],
+                    model_cfg.reduction_factor,
+                    model_cfg.guided_attention_sigma)
+                total = total + gal_w * gal
+                metrics = dict(metrics, loss=total, loss_guided_attn=gal)
+            return total, metrics
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)

@@ -75,6 +75,7 @@ QUICK = [
     "test_zero_sharding.py",
     # quality scalars + CLI surface
     "test_quality.py",
+    "test_guided_attention.py::test_weight_matrix_semantics",
     "test_cli.py::test_help_lists_verbs",
     # hosted-tracker adapter (offline degradation + forwarding)
     "test_tracking.py::test_missing_sdk_degrades_to_none_with_warning",
