@@ -298,8 +298,17 @@ def _self_attn_step_lsh_chunk(p, h_t, k_cache, v_cache, ring, rotations, t,
             {"idx": idx, "cnt": cnt})
 
 
-def _cross_attn_step(p, h_t, mem_k, mem_v, memory_mask, num_heads, cdt):
-    """One-frame cross-attention. mem_k/mem_v: (B, L, H, d) precomputed."""
+def _cross_attn_step(p, h_t, mem_k, mem_v, memory_mask, num_heads, cdt,
+                     window=None, align_pos=None):
+    """One-frame cross-attention. mem_k/mem_v: (B, L, H, d) precomputed.
+
+    ``window=(w_back, w_fwd)`` with ``align_pos`` (B,) int32 restricts the
+    attended tokens to [align_pos - w_back, align_pos + w_fwd] — the
+    classic TTS inference-time monotonic windowing that prevents the
+    free-running decoder from jumping back (looping) or skipping ahead.
+    Returns (out, argmax) where argmax (B,) int32 is the head-averaged
+    attention peak (None when not windowing) for the monotonic tracker.
+    """
     q = _proj_heads(p["w_q"], h_t, num_heads, cdt)
     d = q.shape[-1]
     # mem_k/mem_v may be stored f8 (cfg.kv_cache_dtype): the upcast fuses
@@ -309,9 +318,18 @@ def _cross_attn_step(p, h_t, mem_k, mem_v, memory_mask, num_heads, cdt):
                         mem_k.astype(cdt)).astype(jnp.float32) * (d ** -0.5)
     if memory_mask is not None:
         scores = jnp.where(memory_mask[:, None, :], scores, MASK_VALUE)
+    if window is not None:
+        w_back, w_fwd = window
+        l_idx = jnp.arange(scores.shape[-1])[None, :]
+        in_win = ((l_idx >= align_pos[:, None] - w_back)
+                  & (l_idx <= align_pos[:, None] + w_fwd))
+        scores = jnp.where(in_win[:, None, :], scores, MASK_VALUE)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhl,blhd->bhd", probs.astype(cdt), mem_v.astype(cdt))
-    return dense(p["w_o"], out.reshape(out.shape[0], -1), cdt)
+    out = dense(p["w_o"], out.reshape(out.shape[0], -1), cdt)
+    if window is None:
+        return out, None
+    return out, jnp.argmax(jnp.mean(probs, axis=1), axis=-1).astype(jnp.int32)
 
 
 def _ffn_step(p, y_t, act_name, cdt):
@@ -337,6 +355,8 @@ class DecodeState(NamedTuple):
     k_caches: Any                 # tuple over self-attn layers (normalized K)
     v_caches: Any
     b_caches: Any                  # tuple of bucket caches (LSH mode) or ()
+    align_pos: Any = ()            # (B,) int32 alignment tracker when
+    #                                attn_window is active, else () (empty)
 
 
 class DecodeResult(NamedTuple):
@@ -409,15 +429,21 @@ def _stack_substep(params, cfg: ReformerTTSConfig, x_t, cdt,
 
 
 def _decoder_step(params, cfg: ReformerTTSConfig, x_t, state: DecodeState,
-                  mem_k, mem_v, memory_mask, cdt, rotations=None):
+                  mem_k, mem_v, memory_mask, cdt, rotations=None,
+                  window=None):
     """Run one frame through the decoder stack (two-stream recurrence).
 
     x_t: (B, D) post-prenet+posenc frame.  ``rotations`` non-None selects
-    the LSH bucket-cache attention.  Returns (out (B,D), new state caches)."""
+    the LSH bucket-cache attention.  ``window`` non-None applies monotonic
+    cross-attention windowing around ``state.align_pos`` (see
+    ``_cross_attn_step``); the returned tracker is the LAST cross layer's
+    attention peak (the layer the alignment diagnostics read).  Returns
+    (out (B,D), k_caches, v_caches, b_caches, align_peak-or-None)."""
     num_heads = cfg.decoder.attention.num_heads
     k_caches = list(state.k_caches)
     v_caches = list(state.v_caches)
     b_caches = list(state.b_caches)
+    peak = [None]
 
     def self_attn(ci, p, h):
         if rotations is not None and isinstance(b_caches[ci], dict):
@@ -436,11 +462,16 @@ def _decoder_step(params, cfg: ReformerTTSConfig, x_t, state: DecodeState,
         return out
 
     def cross(xi, p, h):
-        return _cross_attn_step(p, h, mem_k[xi], mem_v[xi], memory_mask,
-                                num_heads, cdt)
+        out, amax = _cross_attn_step(p, h, mem_k[xi], mem_v[xi], memory_mask,
+                                     num_heads, cdt, window=window,
+                                     align_pos=(state.align_pos
+                                                if window is not None
+                                                else None))
+        peak[0] = amax
+        return out
 
     y = _stack_substep(params, cfg, x_t, cdt, self_attn, cross)
-    return y, tuple(k_caches), tuple(v_caches), tuple(b_caches)
+    return y, tuple(k_caches), tuple(v_caches), tuple(b_caches), peak[0]
 
 
 def _pos_table(params, cfg: ReformerTTSConfig):
@@ -459,7 +490,8 @@ def _pos_table(params, cfg: ReformerTTSConfig):
 
 
 def _make_step_fn(params, cfg: ReformerTTSConfig, mem_k, mem_v, memory_mask,
-                  rng, stop_threshold, teacher_mel=None, rotations=None):
+                  rng, stop_threshold, teacher_mel=None, rotations=None,
+                  attn_window=None):
     cdt = _dtype(cfg.compute_dtype)
     pos_table, pos_alpha = _pos_table(params, cfg)
     r = cfg.reduction_factor
@@ -474,9 +506,9 @@ def _make_step_fn(params, cfg: ReformerTTSConfig, mem_k, mem_v, memory_mask,
                        deterministic=True, compute_dtype=cdt)
         pe = jax.lax.dynamic_slice_in_dim(pos_table, t, 1, axis=0)[0]
         h = h + pos_alpha.astype(h.dtype) * pe.astype(h.dtype)
-        y, k_caches, v_caches, b_caches = _decoder_step(
+        y, k_caches, v_caches, b_caches, peak = _decoder_step(
             params, cfg, h, state, mem_k, mem_v, memory_mask, cdt,
-            rotations=rotations)
+            rotations=rotations, window=attn_window)
         group = dense(params["mel_head"], y, cdt).astype(jnp.float32)
         frames = group.reshape(-1, r, n_mels)            # (B, r, n_mels)
         stop_logit = dense(params["stop_head"], y, cdt)[..., 0].astype(jnp.float32)
@@ -506,8 +538,14 @@ def _make_step_fn(params, cfg: ReformerTTSConfig, mem_k, mem_v, memory_mask,
             next_frame = nxt.reshape(nxt.shape[0], r * n_mels)
         else:
             next_frame = group
+        if attn_window is not None:
+            # monotonic tracker: never retreats; frozen once a row stops
+            align = jnp.where(state.done | ~live, state.align_pos,
+                              jnp.maximum(state.align_pos, peak))
+        else:
+            align = state.align_pos
         return DecodeState(t + 1, done, lengths, next_frame, mel,
-                           stop_logits, k_caches, v_caches, b_caches)
+                           stop_logits, k_caches, v_caches, b_caches, align)
 
     return step
 
@@ -613,7 +651,7 @@ def _make_block_step_fn(params, cfg: ReformerTTSConfig, mem_k, mem_v,
 
             def cross(xi, p, hh):
                 return _cross_attn_step(p, hh, mem_k[xi], mem_v[xi],
-                                        memory_mask, num_heads, cdt)
+                                        memory_mask, num_heads, cdt)[0]
 
             y = _stack_substep(params, cfg, h, cdt, self_attn, cross)
 
@@ -658,14 +696,15 @@ def _make_block_step_fn(params, cfg: ReformerTTSConfig, mem_k, mem_v,
             jnp.where(live_mask[None, :], stop_rep, cur_stop), t0 * r,
             axis=1)
         return DecodeState(t0 + block, done, lengths, prev_frame, mel,
-                           stop_logits, k_caches, v_caches, state.b_caches)
+                           stop_logits, k_caches, v_caches, state.b_caches,
+                           state.align_pos)
 
     return body
 
 
 def _init_state(params, cfg: ReformerTTSConfig, batch: int, max_frames: int,
                 lsh_cache: bool = False, ring_buckets: int = 0,
-                ring_capacity: int = 0):
+                ring_capacity: int = 0, track_align: bool = False):
     cdt = _dtype(cfg.compute_dtype)
     kdt = _kv_dtype(cfg, cdt)
     a = cfg.decoder.attention
@@ -702,6 +741,7 @@ def _init_state(params, cfg: ReformerTTSConfig, batch: int, max_frames: int,
         k_caches=qk,
         v_caches=v,
         b_caches=b,
+        align_pos=(jnp.zeros((batch,), jnp.int32) if track_align else ()),
     )
 
 
@@ -825,8 +865,18 @@ def decode_greedy(
     unroll: int = 1,
     staged="auto",
     stage_min: int = 128,
+    attn_window: Optional[Tuple[int, int]] = None,
 ) -> "DecodeResult":
     """Greedy AR decode -> DecodeResult(mel_post (B,T_max,n_mels), lengths (B,), stop_logits).
+
+    attn_window: optional (w_back, w_fwd) monotonic cross-attention window
+    in TOKENS: each step the decoder may only attend to encoder positions
+    within [peak - w_back, peak + w_fwd] of a per-example alignment
+    tracker that follows the last cross layer's attention peak and never
+    retreats — the classic TTS inference guard against looping (attention
+    jumping back => repeated speech) and skipping.  Opt-in; adds one (B,)
+    int32 to the loop carry.  Incompatible with unroll > 1 (the block
+    path does not thread the tracker).
 
     mode: "kv_full"      — full-attention KV cache (standard serving)
           "kv_lsh"       — LSH bucket-mask attention over the whole prefix
@@ -888,8 +938,19 @@ def decode_greedy(
     if mode in ("kv_lsh", "kv_lsh_chunk"):
         rotations, nb = _decode_rotations(cfg, jax.random.fold_in(rng, _ROT_KEY),
                                           max_frames)
+    if attn_window is not None:
+        w_back, w_fwd = attn_window
+        if w_back < 0 or w_fwd < 1:
+            raise ValueError(
+                f"attn_window must satisfy w_back >= 0 and w_fwd >= 1 "
+                f"(the tracker must be able to advance), got {attn_window}")
+        if unroll > 1:
+            raise ValueError("attn_window is incompatible with unroll > 1 "
+                             "(block decoding does not thread the "
+                             "alignment tracker)")
     step = _make_step_fn(params, cfg, mem_k, mem_v, memory_mask, rng,
-                         stop_threshold, rotations=rotations)
+                         stop_threshold, rotations=rotations,
+                         attn_window=attn_window)
     a = cfg.decoder.attention
     n_groups = max_frames // cfg.reduction_factor
     if staged == "auto":
@@ -907,7 +968,8 @@ def decode_greedy(
         params, cfg, batch, sizes[0] * cfg.reduction_factor,
         lsh_cache=(mode == "kv_lsh"),
         ring_buckets=(nb if mode == "kv_lsh_chunk" else 0),
-        ring_capacity=min(ring_cap, n_groups))
+        ring_capacity=min(ring_cap, n_groups),
+        track_align=attn_window is not None)
 
     if unroll > 1 and mode == "kv_full":
         # block decoding: one batched cache write per trip (keeps XLA's

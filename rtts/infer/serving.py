@@ -148,7 +148,7 @@ def _ring_decode_frame(params, cfg: ReformerTTSConfig, prev_frame, offsets,
 
     def cross(xi, p, hh):
         return _cross_attn_step(p, hh, mem_k[xi], mem_v[xi], memory_mask,
-                                num_heads, cdt)
+                                num_heads, cdt)[0]
 
     y = _stack_substep(params, cfg, h, cdt, self_attn, cross)
     group = dense(params["mel_head"], y, cdt).astype(jnp.float32)

@@ -26,7 +26,7 @@ class Synthesizer:
     def __init__(self, cfg: Config, tts_params, vocoder_params=None,
                  max_frames: int = 1024, mode: str = "auto",
                  unroll: int = 1, staged="auto", mesh=None,
-                 tensor_parallel: bool = True):
+                 tensor_parallel: bool = True, attn_window=None):
         """``mode`` selects the AR decode cache (see decode_greedy).
         Default "auto" applies a measured cost model: kv_lsh_chunk for
         LSH decoders when the prefix dwarfs the ring working set (1.78x
@@ -47,7 +47,12 @@ class Synthesizer:
         the last request up to the data-parallel size), and vocoder
         params replicate (it scales by batch).  Same numerics as
         single-device up to cross-partition reduction order
-        (rtts/parallel/serving.py; tests/test_serving_tp.py)."""
+        (rtts/parallel/serving.py; tests/test_serving_tp.py).
+
+        ``attn_window=(w_back, w_fwd)`` (tokens) applies monotonic
+        cross-attention windowing during the AR decode — the classic
+        inference guard against attention looping/skipping on long or
+        out-of-distribution text (see decode_greedy; opt-in)."""
         self.cfg = cfg
         self.mesh = mesh
         # one-time bf16 cast of matmul weights, OUTSIDE the jit: the
@@ -77,19 +82,23 @@ class Synthesizer:
         self.mode = mode
         self.unroll = unroll
         self.staged = staged
+        self.attn_window = (tuple(attn_window) if attn_window is not None
+                            else None)
         self._decode_jit = jax.jit(
-            functools.partial(self._decode, cfg.model, mode, unroll, staged),
+            functools.partial(self._decode, cfg.model, mode, unroll, staged,
+                              self.attn_window),
             static_argnames=("max_frames",),
         )
 
     @staticmethod
-    def _decode(model_cfg, mode, unroll, staged, params, tokens, token_mask,
-                rng, max_frames):
+    def _decode(model_cfg, mode, unroll, staged, attn_window, params, tokens,
+                token_mask, rng, max_frames):
         memory = tts_model.encode(params, model_cfg, tokens, token_mask,
                                   rng=None, deterministic=True)
         return decode_greedy(params, model_cfg, memory, token_mask,
                              max_frames=max_frames, rng=rng, mode=mode,
-                             unroll=unroll, staged=staged)
+                             unroll=unroll, staged=staged,
+                             attn_window=attn_window)
 
     def text_to_mel(self, texts: Sequence[str], seed: int = 0
                     ) -> Tuple[np.ndarray, np.ndarray]:
