@@ -63,10 +63,15 @@ class StreamingSynthesizer:
     """
 
     def __init__(self, cfg: Config, tts_params, vocoder_params=None,
-                 max_frames: int = 1024, mode: str = "kv_full"):
+                 max_frames: int = 1024, mode: str = "kv_full",
+                 attn_window=None):
         """``mode``: AR decode cache — kv_full (default; the streaming
         exactness tests pin this path), kv_lsh, kv_lsh_chunk, or auto
-        (kv_lsh_chunk when the decoder self-attention kind is lsh)."""
+        (kv_lsh_chunk when the decoder self-attention kind is lsh).
+
+        ``attn_window=(w_back, w_fwd)``: monotonic cross-attention
+        windowing, same semantics as decode_greedy/Synthesizer (opt-in);
+        the tracker rides the decode state across segments."""
         self.cfg = cfg
         # one-time bf16 weight cast, OUTSIDE the jit, shared by every
         # stream() call and segment (see decode._precast_weights)
@@ -87,6 +92,15 @@ class StreamingSynthesizer:
 
             mode = _auto_mode(mcfg, max_frames)
         self.mode = mode
+        self.attn_window = (tuple(attn_window) if attn_window is not None
+                            else None)
+        if self.attn_window is not None:
+            wb, wf = self.attn_window
+            if wb < 0 or wf < 1:
+                raise ValueError(
+                    f"attn_window must satisfy w_back >= 0 and w_fwd >= 1 "
+                    f"(the tracker must be able to advance), "
+                    f"got {attn_window}")
         if max_frames % mcfg.reduction_factor != 0:
             raise ValueError("max_frames must be a multiple of reduction_factor")
 
@@ -120,7 +134,8 @@ class StreamingSynthesizer:
             rotations, nb = _decode_rotations(
                 cfg, jax.random.fold_in(rng, _ROT_KEY), self.max_frames)
         step = _make_step_fn(params, cfg, mem_k, mem_v, memory_mask, rng,
-                             cfg.stop_threshold, rotations=rotations)
+                             cfg.stop_threshold, rotations=rotations,
+                             attn_window=self.attn_window)
         target = state.t + n_groups
         total = self.max_frames // cfg.reduction_factor
 
@@ -172,7 +187,8 @@ class StreamingSynthesizer:
             lsh_cache=(self.mode == "kv_lsh"),
             ring_buckets=(nb if self.mode == "kv_lsh_chunk" else 0),
             ring_capacity=min(ring_cap,
-                              self.max_frames // cfg.reduction_factor))
+                              self.max_frames // cfg.reduction_factor),
+            track_align=self.attn_window is not None)
 
         # vocoder context bookkeeping
         pn_ctx = _postnet_context(cfg)

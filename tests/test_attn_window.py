@@ -91,6 +91,20 @@ def test_window_validation(batch):  # noqa: F811
                       unroll=2, attn_window=(1, 2))
 
 
+def test_streaming_accepts_window():
+    from tests.test_streaming_synth import _setup
+    from rtts.infer.streaming import StreamingSynthesizer
+
+    cfg, params, _ = _setup()
+    ss = StreamingSynthesizer(cfg, params, None, max_frames=32,
+                              attn_window=(2, 3))
+    chunks = list(ss.stream(["hello world"], chunk_frames=8))
+    assert chunks and all(np.isfinite(c).all() for c in chunks)
+    with pytest.raises(ValueError, match="w_fwd"):
+        StreamingSynthesizer(cfg, params, None, max_frames=32,
+                             attn_window=(2, 0))
+
+
 def test_synthesizer_accepts_window(batch):  # noqa: F811
     from rtts.config import Config, DatasetConfig
     from rtts.infer.synthesize import Synthesizer
