@@ -35,6 +35,9 @@ def main() -> None:
     ap.add_argument("--kv-dtype", default=None,
                     help="re-run cached modes with this kv_cache_dtype too")
     ap.add_argument("--stop-threshold", type=float, default=None)
+    ap.add_argument("--window", default=None,
+                    help="wb,wf — monotonic cross-attention window for the "
+                         "cached modes (decode_greedy attn_window)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -88,6 +91,9 @@ def main() -> None:
     print(f"batch {tokens.shape[0]} x {max_frames} frames "
           f"(gt lengths {gt_mask.sum(1).tolist()})")
 
+    window = (tuple(int(x) for x in args.window.split(","))
+              if args.window else None)
+
     def run_mode(mode, kv_dtype="compute"):
         mcfg = dataclasses.replace(cfg.model, kv_cache_dtype=kv_dtype)
         st = args.stop_threshold
@@ -98,7 +104,8 @@ def main() -> None:
             memory = M.encode(p, mcfg, tok, msk, deterministic=True)
             if mode == "recompute":
                 return decode_greedy_recompute(p, mcfg, memory, msk, **fn_args)
-            return decode_greedy(p, mcfg, memory, msk, mode=mode, **fn_args)
+            return decode_greedy(p, mcfg, memory, msk, mode=mode,
+                                 attn_window=window, **fn_args)
 
         r = go(params, tokens, tmask)
         return np.asarray(r.mel_post), np.asarray(r.lengths)
