@@ -158,13 +158,14 @@ def export_synthesizer(
     tts_params = (gathered_tts if gathered_tts is not None
                   else synth.tts_params)
     model_cfg = cfg.model
-    decode = synth._decode  # staticmethod: (model_cfg, mode, unroll,
-    #                         staged, params, tokens, mask, rng, max_frames)
+    decode = synth._decode  # staticmethod: (model_cfg, mode, unroll, staged,
+    #                 attn_window, params, tokens, mask, rng, max_frames)
     mode, unroll, staged = synth.mode, synth.unroll, synth.staged
+    window = synth.attn_window  # baked into the exported decode graph
 
     def tts_fn(tokens, mask, seed):
         rng = jax.random.PRNGKey(seed)
-        mel, lengths, stop = decode(model_cfg, mode, unroll, staged,
+        mel, lengths, stop = decode(model_cfg, mode, unroll, staged, window,
                                     tts_params, tokens, mask, rng,
                                     max_frames=synth.max_frames)
         return mel, lengths
