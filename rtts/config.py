@@ -284,6 +284,11 @@ class ReformerTTSConfig:
     # layers run the naive (prob-materializing) path while enabled.
     guided_attention_weight: float = 0.0
     guided_attention_sigma: float = 0.2
+    # > 0: linearly anneal the guided-attention weight to 0 over this many
+    # steps (prior strongest early, unconstrained late).  The probability
+    # capture (naive cross path) stays active for the whole run — size the
+    # decay to most of training or restart without the knob after it hits 0.
+    guided_attention_decay_steps: int = 0
     # frames emitted per decoder step (Tacotron-lineage "outputs per step"):
     # r>1 cuts AR decode steps by r; r=1 is the reference-exact default
     reduction_factor: int = 1

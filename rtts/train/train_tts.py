@@ -46,8 +46,9 @@ from rtts.utils.metrics import MetricLogger
 
 def make_train_step(model_cfg, optimizer):
     gal_w = model_cfg.guided_attention_weight
+    gal_decay = model_cfg.guided_attention_decay_steps
 
-    def train_step(params, opt_state, batch, rng):
+    def train_step(params, opt_state, batch, rng, step=0):
         def loss_fn(p):
             sink = [] if gal_w > 0.0 else None
             pre, post, stop = M.forward(
@@ -65,7 +66,12 @@ def make_train_step(model_cfg, optimizer):
                     sink, batch["token_mask"], batch["mel_mask"],
                     model_cfg.reduction_factor,
                     model_cfg.guided_attention_sigma)
-                total = total + gal_w * gal
+                w = jnp.float32(gal_w)
+                if gal_decay > 0:
+                    # linear anneal to 0 by guided_attention_decay_steps
+                    w = w * jnp.clip(
+                        1.0 - jnp.float32(step) / gal_decay, 0.0, 1.0)
+                total = total + w * gal
                 metrics = dict(metrics, loss=total, loss_guided_attn=gal)
             return total, metrics
 
@@ -232,8 +238,11 @@ def train_tts(cfg: Config, workdir: str, max_steps: Optional[int] = None,
             for step in range(step0, max_steps):
                 batch = _shard_batch(batcher.batch_at(step), mesh)
                 sub = jax.random.fold_in(rng, step)
-                params, opt_state, metrics = train_step(params, opt_state,
-                                                        batch, sub)
+                # step rides as a traced scalar (a python int would
+                # retrace every iteration)
+                params, opt_state, metrics = train_step(
+                    params, opt_state, batch, sub,
+                    jnp.asarray(step, jnp.int32))
 
                 if (step + 1) % exp.logging.log_every_steps == 0 or step == step0:
                     metrics = jax.device_get(metrics)

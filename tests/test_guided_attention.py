@@ -127,6 +127,34 @@ def test_train_step_logs_and_optimizes_gal(batch):  # noqa: F811
     assert gal[-1] < gal[0]  # the penalty is being optimized
 
 
+def test_decay_anneals_weight_to_zero(batch):  # noqa: F811
+    from rtts.config import OptimConfig
+    from rtts.train.optim import make_optimizer
+    from rtts.train.train_tts import make_train_step
+
+    tokens, tmask, mel, mmask = batch
+    cfg = dataclasses.replace(tiny_cfg(), guided_attention_weight=5.0,
+                              guided_attention_decay_steps=10)
+    params = M.init(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(OptimConfig(learning_rate=0.0, schedule="constant",
+                                     warmup_steps=1))
+    step = jax.jit(make_train_step(cfg, opt))
+    b = {"tokens": tokens, "token_mask": tmask, "mel": mel, "mel_mask": mmask}
+    os0 = opt.init(params)
+    # lr=0 keeps params identical, so the two calls differ only by `step`
+    _, _, m0 = step(params, os0, b, jax.random.PRNGKey(7),
+                    jnp.asarray(0, jnp.int32))
+    _, _, m10 = step(params, opt.init(params), b, jax.random.PRNGKey(7),
+                     jnp.asarray(10, jnp.int32))
+    base10 = (float(m10["loss_mel_pre"]) + float(m10["loss_mel_post"])
+              + float(m10["loss_stop"]))
+    assert float(m10["loss"]) == pytest.approx(base10, rel=1e-6)  # weight 0
+    base0 = (float(m0["loss_mel_pre"]) + float(m0["loss_mel_post"])
+             + float(m0["loss_stop"]))
+    assert float(m0["loss"]) == pytest.approx(
+        base0 + 5.0 * float(m0["loss_guided_attn"]), rel=1e-6)
+
+
 def test_reversible_stack_rejects_sink(batch):  # noqa: F811
     tokens, tmask, mel, mmask = batch
     cfg = tiny_cfg(reversible=True)
