@@ -47,6 +47,62 @@ _SENTENCES = [
     "a picture is worth a thousand words.",
 ]
 
+# Word banks for the procedural sentence composer (`sentence_for_index`
+# below): utterance indices past the curated ``_SENTENCES`` pool draw a
+# deterministic subject/verb/object/tail sentence, so an "enlarged" corpus
+# (hundreds of utterances for convergence runs — VERDICT r4 item 1) has
+# unique text per clip instead of cycling 24 sentences.
+_SUBJECTS = [
+    "the quick fox", "a wise old owl", "the river", "my neighbor",
+    "the young painter", "a distant train", "the tall lighthouse",
+    "our patient teacher", "the winter wind", "a curious child",
+    "the silver moon", "the old clock", "a gentle rain", "the busy market",
+    "the quiet library", "a brave sailor", "the mountain road",
+    "the evening choir", "a small boat", "the garden gate",
+]
+_VERBS = [
+    "follows", "remembers", "watches", "welcomes", "crosses", "discovers",
+    "carries", "repeats", "measures", "answers", "borrows", "gathers",
+    "reaches", "teaches", "forgives", "surprises", "awaits", "describes",
+    "observes", "repairs",
+]
+_OBJECTS = [
+    "the narrow path", "an open door", "the morning light", "a secret song",
+    "the last letter", "a golden leaf", "the broken bridge",
+    "an honest answer", "the hidden valley", "a warm fire",
+    "the silent harbor", "a forgotten name", "the rising tide",
+    "an early spring", "the wooden table", "a steady rhythm",
+    "the northern star", "a simple meal", "the village square",
+    "an ancient map",
+]
+_TAILS = [
+    "before the storm arrives", "after the long journey",
+    "beyond the green hills", "under the pale sky", "without a single word",
+    "near the frozen lake", "during the quiet night", "beside the old mill",
+    "along the dusty road", "against the falling snow",
+    "within the walled garden", "despite the heavy fog",
+    "through the open window", "between the tall pines",
+    "behind the stone wall", "over the shallow stream",
+]
+
+
+def sentence_for_index(i: int) -> str:
+    """Deterministic text for utterance ``i``: the curated pool first, then
+    composed subject-verb-object-tail sentences (unique through tens of
+    thousands of indices)."""
+    if i < len(_SENTENCES):
+        return _SENTENCES[i]
+    rng = np.random.default_rng(0xC0DE + i)
+    parts = [
+        _SUBJECTS[rng.integers(len(_SUBJECTS))],
+        _VERBS[rng.integers(len(_VERBS))],
+        _OBJECTS[rng.integers(len(_OBJECTS))],
+        _TAILS[rng.integers(len(_TAILS))],
+    ]
+    sep = "," if rng.random() < 0.3 else ""
+    return f"{parts[0]} {parts[1]} {parts[2]}{sep} {parts[3]}."
+
+
 _VOWELS = {
     "a": (730, 1090, 2440),
     "e": (530, 1840, 2480),
@@ -125,7 +181,7 @@ def generate_long_recording(out_dir: str | pathlib.Path,
     lines = []
     t = len(gap) / sample_rate
     for i in range(n_utterances):
-        text = _SENTENCES[i % len(_SENTENCES)]
+        text = sentence_for_index(i)
         audio = synth_utterance(clean_text(text), sample_rate)
         start, end = t, t + len(audio) / sample_rate
         lines.append(f"long{i:04d}|{start:.3f}|{end:.3f}|{text}")
@@ -147,7 +203,7 @@ def generate_corpus(out_dir: str | pathlib.Path, n_utterances: int = 24,
     wav_dir.mkdir(parents=True, exist_ok=True)
     utts = []
     for i in range(n_utterances):
-        text = _SENTENCES[i % len(_SENTENCES)]
+        text = sentence_for_index(i)
         cleaned = clean_text(text)
         audio = synth_utterance(cleaned, sample_rate)
         utt_id = f"utt{i:04d}"
