@@ -83,22 +83,33 @@ class GracefulStop:
         self._event.set()
 
 
-def stop_requested_global(stop) -> bool:
+def stop_requested_global(stop, step: int = 0, every: int = 1) -> bool:
     """Cross-host agreement on the stop flag.
 
     Single-process (the common case): just the local flag, no device
-    work.  Multi-process: every rank all-gathers its local flag and the
-    result is the OR — all processes see True at the same step boundary
-    even when the signal reached only one host, so nobody keeps issuing
-    collectives against a departed peer.  Must be called by EVERY process
-    at the SAME loop point (it is itself a collective); the trainers call
-    it once per step.
+    work, polled every step.  Multi-process: every rank all-gathers its
+    local flag and the result is the OR — all processes see True at the
+    same step boundary even when the signal reached only one host, so
+    nobody keeps issuing collectives against a departed peer.  Must be
+    called by EVERY process at the SAME loop point with the SAME
+    ``step``/``every`` (the poll itself is a collective).
+
+    The all-gather forces a host↔device sync, which would defeat async
+    dispatch overlap if issued per step (ADVICE r4), so multi-process
+    agreement is only polled when ``(step + 1) % every == 0`` — the
+    trainers pass their logging cadence.  Between agreement boundaries
+    NO process stops (the local flag alone must never break the loop on
+    multi-process jobs, or peers hang in collectives), so a preemption
+    signal is acted on at the next shared boundary — at most ``every``
+    steps late, still well inside cloud-TPU grace windows.
     """
     local = bool(getattr(stop, "stop_requested", False))
     import jax
 
     if jax.process_count() == 1:
         return local
+    if (step + 1) % max(every, 1) != 0:
+        return False
     import numpy as np
     from jax.experimental import multihost_utils
 

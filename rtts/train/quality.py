@@ -18,6 +18,12 @@ step:
   cross-attention around the ideal monotone text↔frame line, plus
   ``attention_focus`` (mean max row prob).  Computed from the exact
   teacher-forced replay (rtts/infer/diagnostics.py).
+- ``multi_resolution_stft_distance`` — waveform-domain fidelity between a
+  rendered/vocoded prediction and ground-truth AUDIO (VERDICT r4 item 3:
+  the reference's primary observability was rendered audio judged by ear
+  — SURVEY.md §6.5; this is its numeric companion).  Spectral convergence
+  + log-magnitude L1 averaged over three STFT resolutions (the Parallel
+  WaveGAN / MR-STFT auxiliary-loss formulation), host-side numpy.
 """
 
 from __future__ import annotations
@@ -73,6 +79,65 @@ def stop_length_mae(stop_logits: jnp.ndarray, mel_mask: jnp.ndarray,
     pred_len = jnp.minimum(first + 1, t)
     true_len = jnp.sum(mel_mask.astype(jnp.int32), axis=1)
     return jnp.mean(jnp.abs(pred_len - true_len).astype(jnp.float32))
+
+
+# (n_fft, hop, win): the standard MR-STFT triple — fine / coarse / mid
+# time-frequency trade-offs so neither transient smearing nor tonal error
+# can hide from all three.
+_MRSTFT_RESOLUTIONS = ((512, 128, 240), (1024, 256, 600), (2048, 512, 1200))
+
+
+def _stft_mag(x: np.ndarray, n_fft: int, hop: int, win: int) -> np.ndarray:
+    """|STFT| of a 1-D signal: hann-windowed frames, no centering.
+    Returns (n_frames, n_fft//2 + 1); empty when the signal is shorter
+    than one window."""
+    x = np.asarray(x, np.float64)
+    if len(x) < win:
+        return np.zeros((0, n_fft // 2 + 1))
+    n_frames = 1 + (len(x) - win) // hop
+    idx = np.arange(win)[None, :] + hop * np.arange(n_frames)[:, None]
+    window = np.hanning(win)
+    return np.abs(np.fft.rfft(x[idx] * window, n=n_fft, axis=-1))
+
+
+def multi_resolution_stft_distance(
+        pred_wav: np.ndarray, true_wav: np.ndarray,
+        resolutions=_MRSTFT_RESOLUTIONS) -> dict:
+    """Waveform-domain distance between predicted and ground-truth audio.
+
+    Both inputs are 1-D float waveforms (any common scale); they are
+    trimmed to the shorter length.  Returns::
+
+        {"spectral_convergence": mean_r ||S_t - S_p||_F / ||S_t||_F,
+         "log_stft_l1":          mean_r mean |log S_t - log S_p|,
+         "mr_stft":              sum of the two}
+
+    all averaged over ``resolutions`` (skipping any the signals are too
+    short for).  0 for identical signals; insensitive to constant phase
+    shifts of the reconstruction (magnitude-only), which is what makes it
+    usable with Griffin-Lim renders as well as vocoded audio.
+    """
+    n = min(len(pred_wav), len(true_wav))
+    p = np.asarray(pred_wav[:n], np.float64)
+    t = np.asarray(true_wav[:n], np.float64)
+    scs, mags = [], []
+    for n_fft, hop, win in resolutions:
+        sp = _stft_mag(p, n_fft, hop, win)
+        st = _stft_mag(t, n_fft, hop, win)
+        if st.shape[0] == 0:
+            continue
+        denom = np.sqrt(np.sum(st ** 2))
+        scs.append(float(np.sqrt(np.sum((st - sp) ** 2))
+                         / max(denom, 1e-9)))
+        eps = 1e-7
+        mags.append(float(np.mean(np.abs(np.log(st + eps)
+                                         - np.log(sp + eps)))))
+    if not scs:
+        return {"spectral_convergence": float("nan"),
+                "log_stft_l1": float("nan"), "mr_stft": float("nan")}
+    sc, mag = float(np.mean(scs)), float(np.mean(mags))
+    return {"spectral_convergence": sc, "log_stft_l1": mag,
+            "mr_stft": sc + mag}
 
 
 def attention_diagonality(align: np.ndarray, n_frames: int, n_tokens: int,

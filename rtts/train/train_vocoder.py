@@ -175,6 +175,27 @@ def train_vocoder(cfg: Config, workdir: str, max_steps: Optional[int] = None,
                             agg[k] = agg.get(k, 0.0) + float(v)
                         n_val += 1
                     val_metrics = {k: v / n_val for k, v in agg.items()}
+                    if is_main:
+                        # waveform-domain fidelity (VERDICT r4 item 3): vocode
+                        # one held-out batch, score vs the ground-truth crops
+                        try:
+                            from rtts.train.quality import (
+                                multi_resolution_stft_distance)
+
+                            vb = val_ds.sample(np.random.default_rng(1),
+                                               cfg.dataset.batch_size)
+                            wavs = np.asarray(infer_jit(
+                                params, jnp.asarray(vb["mel"]),
+                                jax.random.PRNGKey(0)))
+                            ds_ = [multi_resolution_stft_distance(
+                                wavs[i], vb["audio"][i])
+                                for i in range(wavs.shape[0])]
+                            for k in ("mr_stft", "spectral_convergence",
+                                      "log_stft_l1"):
+                                val_metrics[k] = float(
+                                    np.mean([x[k] for x in ds_]))
+                        except Exception as e:
+                            print(f"waveform quality scalar failed: {e}")
                     last["val_loss_vocoder"] = val_metrics.get("loss_vocoder")
                     if is_main:
                         logger.log(step + 1, val_metrics, prefix="val/")
@@ -199,7 +220,8 @@ def train_vocoder(cfg: Config, workdir: str, max_steps: Optional[int] = None,
                         _save(step + 1, metric=None)
                         saved = True
 
-                if stop_requested_global(stopper):
+                if stop_requested_global(stopper, step,
+                                         exp.logging.log_every_steps):
                     # preemption / ctrl-C: checkpoint the completed step and
                     # leave cleanly; resume replays from here bit-exactly
                     if is_main and not saved:

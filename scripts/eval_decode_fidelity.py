@@ -38,6 +38,15 @@ def main() -> None:
     ap.add_argument("--window", default=None,
                     help="wb,wf — monotonic cross-attention window for the "
                          "cached modes (decode_greedy attn_window)")
+    ap.add_argument("--vocoder-ckpt", default=None,
+                    help="SqueezeWave checkpoint dir; adds waveform-domain "
+                         "MR-STFT scalars per decode mode (vocoded "
+                         "prediction vs ground-truth audio — VERDICT r4 "
+                         "item 3)")
+    ap.add_argument("--waveform", action="store_true",
+                    help="waveform scalars without a vocoder checkpoint "
+                         "(Griffin-Lim render; absolute values carry the "
+                         "phase-reconstruction floor)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -110,6 +119,53 @@ def main() -> None:
         r = go(params, tokens, tmask)
         return np.asarray(r.mel_post), np.asarray(r.lengths)
 
+    # waveform renderer for the MR-STFT scalars: vocoder when given, else
+    # Griffin-Lim on CPU (complex FFT is unsupported on some TPU backends)
+    render = None
+    if args.vocoder_ckpt:
+        from rtts.models import squeezewave as SW
+        from rtts.models.squeezewave import ensure_folded
+
+        vckpt = pathlib.Path(args.vocoder_ckpt)
+        if not (vckpt / "leaves.npz").exists():
+            vl = latest_checkpoint(vckpt)
+            if vl is None:
+                raise SystemExit(f"no vocoder checkpoint under {vckpt}")
+            vckpt = pathlib.Path(vl)
+        vparams0 = SW.init(jax.random.PRNGKey(0), cfg.vocoder)
+        vparams = ensure_folded(
+            restore_checkpoint(vckpt, {"params": vparams0})[0]["params"])
+        voc_jit = jax.jit(lambda p, mel: SW.infer(
+            p, cfg.vocoder, mel, rng=jax.random.PRNGKey(0)))
+
+        def render(mel2d):
+            return np.asarray(voc_jit(vparams, jnp.asarray(mel2d)[None])[0])
+    elif args.waveform:
+        from rtts.audio.griffin import mel_to_audio
+
+        def render(mel2d):
+            with jax.default_device(jax.devices("cpu")[0]):
+                return np.asarray(mel_to_audio(jnp.asarray(mel2d),
+                                               cfg.dataset.audio, n_iter=8))
+
+    gt_audio = None
+    if render is not None:
+        gt_audio = [ds.store.load(train_man.clips[i]["clip"])["audio"]
+                    for i in range(len(items))]
+
+    def waveform_row(mel, lens):
+        """Per-item render of the predicted frames, scored vs GT audio."""
+        from rtts.train.quality import multi_resolution_stft_distance
+
+        scs, mrs = [], []
+        for i in range(mel.shape[0]):
+            wav = render(mel[i][:max(int(lens[i]), 1)])
+            d = multi_resolution_stft_distance(wav, gt_audio[i])
+            scs.append(d["spectral_convergence"])
+            mrs.append(d["mr_stft"])
+        return {"mr_stft_vs_gt": float(np.mean(mrs)),
+                "spectral_convergence_vs_gt": float(np.mean(scs))}
+
     def l1(a, b, mask):
         m = mask[..., None]
         return float(np.abs((a - b) * m).sum() / (m.sum() * a.shape[-1]))
@@ -130,6 +186,8 @@ def main() -> None:
                "mcd_vs_gt": mcd(mel, mel_gt, gt_mask),
                "stop_len_mae_vs_gt": float(np.abs(lens - gt_len).mean()),
                "lengths": lens.tolist()}
+        if render is not None:
+            row.update(waveform_row(mel, lens))
         if mode == "recompute":
             ref_mel, ref_len = mel, lens
         elif ref_mel is not None:
@@ -140,6 +198,8 @@ def main() -> None:
         print(f"{mode:14s} L1_gt={row['mel_l1_vs_gt']:.4f} "
               f"MCD_gt={row['mcd_vs_gt']:.3f} "
               f"stopMAE_gt={row['stop_len_mae_vs_gt']:.1f} "
+              + (f"MRSTFT_gt={row['mr_stft_vs_gt']:.3f} "
+                 if "mr_stft_vs_gt" in row else "")
               + (f"L1_rec={row.get('mel_l1_vs_recompute'):.4f} "
                  f"stopD={row.get('stop_delta_max')}"
                  if "mel_l1_vs_recompute" in row else ""))

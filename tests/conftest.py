@@ -71,7 +71,7 @@ QUICK = [
     # parallelism (mesh, SP, ZeRO)
     "test_mesh.py",
     "test_seq_parallel.py::test_seq_parallel_matches_single_device[allgather-False]",
-    "test_pipeline_parallel.py::test_pipeline_matches_single_device[False-full]",
+    "test_pipeline_parallel.py::test_pipeline_matches_single_device[1-False-full]",
     "test_zero_sharding.py",
     # quality scalars + CLI surface
     "test_quality.py",
@@ -84,8 +84,22 @@ QUICK = [
 
 
 def pytest_collection_modifyitems(config, items):
+    matched = set()
+    collected_files = set()
     for item in items:
         bare = item.nodeid.split("tests/")[-1]
-        if any(bare == q or bare.startswith(q + "::") or bare.startswith(q)
-               for q in QUICK):
-            item.add_marker(pytest.mark.quick)
+        collected_files.add(bare.split("::")[0])
+        for q in QUICK:
+            if bare == q or bare.startswith(q + "::") or bare.startswith(q):
+                item.add_marker(pytest.mark.quick)
+                matched.add(q)
+    # A QUICK entry whose file WAS collected but which matched no item is a
+    # stale node id (e.g. a renamed parametrization) — fail loudly instead
+    # of silently shrinking the quick tier (ADVICE r4).  Entries whose file
+    # wasn't collected at all (single-file pytest invocations) are fine.
+    stale = [q for q in QUICK
+             if q not in matched and q.split("::")[0] in collected_files]
+    if stale:
+        raise pytest.UsageError(
+            "conftest.QUICK entries matched no collected test (stale node "
+            "ids?): " + ", ".join(stale))

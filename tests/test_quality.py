@@ -85,3 +85,40 @@ def test_attention_diagonality_ignores_padding():
     d, f = attention_diagonality(a, t, n_tok)
     # after renormalization over the valid slice the map is one-hot again
     assert d > 0.99 and f > 0.99
+
+
+def test_mr_stft_zero_for_identical_and_orders_degradation():
+    from rtts.train.quality import multi_resolution_stft_distance
+
+    rng = np.random.default_rng(0)
+    t = np.sin(2 * np.pi * 440 * np.arange(22050) / 22050).astype(np.float32)
+    same = multi_resolution_stft_distance(t, t)
+    assert same["spectral_convergence"] < 1e-9
+    assert same["log_stft_l1"] < 1e-9
+    assert same["mr_stft"] < 1e-9
+    # mild noise < heavy noise < unrelated noise (monotone in degradation)
+    mild = multi_resolution_stft_distance(
+        t + 0.01 * rng.standard_normal(t.shape), t)
+    heavy = multi_resolution_stft_distance(
+        t + 0.3 * rng.standard_normal(t.shape), t)
+    other = multi_resolution_stft_distance(
+        rng.standard_normal(t.shape).astype(np.float32), t)
+    assert 0 < mild["mr_stft"] < heavy["mr_stft"] < other["mr_stft"]
+
+
+def test_mr_stft_phase_shift_insensitive_and_length_trim():
+    from rtts.train.quality import multi_resolution_stft_distance
+
+    n = 22050
+    x = np.sin(2 * np.pi * 220 * np.arange(n) / 22050)
+    shifted = np.sin(2 * np.pi * 220 * np.arange(n) / 22050 + 1.3)
+    d = multi_resolution_stft_distance(shifted, x)
+    # magnitude-only: constant phase ~free on the energy term (the log-mag
+    # term stays noisy on a pure tone's near-zero bins — that's fine)
+    assert d["spectral_convergence"] < 0.05
+    # different lengths: trimmed, not an error
+    d2 = multi_resolution_stft_distance(x[: n // 2], x)
+    assert np.isfinite(d2["mr_stft"])
+    # too short for every window -> NaN, not a crash
+    d3 = multi_resolution_stft_distance(x[:16], x[:16])
+    assert np.isnan(d3["mr_stft"])
