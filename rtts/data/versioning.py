@@ -6,9 +6,14 @@ Self-contained equivalent: content-addressed artifact tracking.
   (path -> sha256, size, mtime) — the dvc.lock analog, committed to git.
 - ``status(lock_file)`` reports added/changed/missing artifacts.
 - ``push(lock_file, remote)`` / ``pull(lock_file, remote)`` copy blobs to
-  or from a content-addressed store (``<remote>/objects/<hash>``).  Local
-  directory remotes work everywhere; URL remotes raise the standard
-  actionable offline error in this environment.
+  or from a content-addressed store keyed ``objects/<hash>``.
+
+Remotes go through a pluggable ``Transport`` seam resolved by URL scheme
+(``register_transport``): local directories / ``file://`` ship by default;
+``gs://`` resolves to a Cloud Storage transport that degrades to an
+actionable error when the client library / network is absent (this
+environment).  Tests register an in-memory fake scheme and round-trip
+push/pull through the same seam the real remotes use.
 """
 
 from __future__ import annotations
@@ -17,7 +22,7 @@ import hashlib
 import json
 import pathlib
 import shutil
-from typing import Dict, Iterable, List, Tuple
+from typing import Callable, Dict, Iterable, List, Protocol, Tuple
 
 
 def _sha256(path: pathlib.Path, chunk: int = 1 << 20) -> str:
@@ -72,25 +77,124 @@ def status(lock_file: str) -> Dict[str, List[str]]:
     return out
 
 
-def _remote_objects(remote: str) -> pathlib.Path:
-    if "://" in remote and not remote.startswith("file://"):
+class Transport(Protocol):
+    """Blob store for one remote; keys are ``objects/<sha256>`` strings."""
+
+    def exists(self, key: str) -> bool: ...
+
+    def upload(self, local: str, key: str) -> None: ...
+
+    def download(self, key: str, local: str) -> bool:
+        """Fetch ``key`` into ``local``; False when the blob is absent."""
+        ...
+
+
+class FilesystemTransport:
+    """Default transport: a local (or mounted) directory remote."""
+
+    def __init__(self, remote: str):
+        self.root = pathlib.Path(remote.removeprefix("file://"))
+        (self.root / "objects").mkdir(parents=True, exist_ok=True)
+
+    def exists(self, key: str) -> bool:
+        return (self.root / key).exists()
+
+    def upload(self, local: str, key: str) -> None:
+        dst = self.root / key
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        shutil.copyfile(local, dst)
+
+    def download(self, key: str, local: str) -> bool:
+        src = self.root / key
+        if not src.exists():
+            return False
+        shutil.copyfile(src, local)
+        return True
+
+
+class GCSTransport:
+    """``gs://bucket/prefix`` remote via google-cloud-storage.
+
+    The client library is not baked into this image and there is no
+    network egress, so construction degrades to the standard actionable
+    error; on a real TPU-VM (where the reference's DVC+GCS setup lived,
+    SURVEY.md §3.1 #19) the same class works as-is.
+    """
+
+    def __init__(self, remote: str):
+        try:
+            from google.cloud import storage  # type: ignore
+
+            client = storage.Client()
+        except Exception as e:  # ImportError / DefaultCredentialsError / net
+            raise RuntimeError(
+                f"remote {remote!r} needs the google-cloud-storage client, "
+                "credentials and network egress, unavailable in this "
+                "environment — use a local/file:// remote directory, or "
+                "register a custom transport via "
+                f"register_transport('gs', ...) ({type(e).__name__}: {e})"
+            ) from e
+        bucket, _, prefix = remote.removeprefix("gs://").partition("/")
+        self._bucket = client.bucket(bucket)
+        self._prefix = prefix.rstrip("/")
+
+    def _blob(self, key: str):
+        name = f"{self._prefix}/{key}" if self._prefix else key
+        return self._bucket.blob(name)
+
+    def exists(self, key: str) -> bool:
+        return self._blob(key).exists()
+
+    def upload(self, local: str, key: str) -> None:
+        self._blob(key).upload_from_filename(local)
+
+    def download(self, key: str, local: str) -> bool:
+        blob = self._blob(key)
+        if not blob.exists():
+            return False
+        blob.download_to_filename(local)
+        return True
+
+
+_TRANSPORTS: Dict[str, Callable[[str], Transport]] = {
+    "file": FilesystemTransport,
+    "gs": GCSTransport,
+}
+
+
+def register_transport(scheme: str,
+                       factory: Callable[[str], Transport]) -> None:
+    """Plug a transport for ``<scheme>://`` remotes (tests use a fake)."""
+    _TRANSPORTS[scheme] = factory
+
+
+def resolve_transport(remote: str) -> Transport:
+    """Scheme-dispatch a remote URL; bare paths are filesystem remotes."""
+    scheme, sep, _ = remote.partition("://")
+    if not sep:
+        return FilesystemTransport(remote)
+    try:
+        factory = _TRANSPORTS[scheme]
+    except KeyError:
         raise RuntimeError(
-            f"remote {remote!r} needs network egress, unavailable in this "
-            "environment — use a local/file:// remote directory")
-    root = pathlib.Path(remote.removeprefix("file://"))
-    obj = root / "objects"
-    obj.mkdir(parents=True, exist_ok=True)
-    return obj
+            f"no transport registered for {scheme!r} remotes "
+            f"(have: {sorted(_TRANSPORTS)}); use register_transport") \
+            from None
+    return factory(remote)
+
+
+def _key(meta: dict) -> str:
+    return f"objects/{meta['sha256']}"
 
 
 def push(lock_file: str, remote: str) -> int:
     """Upload all lock-file artifacts into the remote blob store."""
-    obj = _remote_objects(remote)
+    tr = resolve_transport(remote)
     n = 0
     for path, meta in _load_lock(lock_file).items():
-        dst = obj / meta["sha256"]
-        if not dst.exists():
-            shutil.copyfile(path, dst)
+        key = _key(meta)
+        if not tr.exists(key):
+            tr.upload(path, key)
             n += 1
     return n
 
@@ -98,16 +202,14 @@ def push(lock_file: str, remote: str) -> int:
 def pull(lock_file: str, remote: str) -> Tuple[int, List[str]]:
     """Restore missing/changed artifacts from the remote store.
     Returns (restored_count, unavailable_paths)."""
-    obj = _remote_objects(remote)
+    tr = resolve_transport(remote)
     restored, missing = 0, []
     st = status(lock_file)
     entries = _load_lock(lock_file)
     for path in st["missing"] + st["changed"]:
-        blob = obj / entries[path]["sha256"]
-        if not blob.exists():
-            missing.append(path)
-            continue
         pathlib.Path(path).parent.mkdir(parents=True, exist_ok=True)
-        shutil.copyfile(blob, path)
-        restored += 1
+        if tr.download(_key(entries[path]), path):
+            restored += 1
+        else:
+            missing.append(path)
     return restored, missing
