@@ -150,6 +150,70 @@ def _self_attn_step(p, h_t, k_cache, v_cache, t, num_heads, cdt):
     return dense(p["w_o"], out, cdt), k_cache, v_cache
 
 
+def _self_attn_step_local(p, h_t, k_cache, v_cache, t, num_heads, cdt,
+                          chunk, before):
+    """One-frame shared-QK LOCAL (sliding-chunk) self-attention over a
+    ring of the last ``W = chunk * (1 + before)`` keys (VERDICT r4 #4).
+
+    Training semantics (rtts/attention/local.py, SURVEY.md §3.2 "Local
+    attention"): the query at position t attends chunks
+    ``[t//chunk - before .. t//chunk]`` causally with the shared-QK self
+    penalty — the window start moves at CHUNK granularity, so a ring of
+    capacity W always holds every key the query may legally see, and the
+    serve-time pattern matches training EXACTLY (kv_full is a superset
+    that also exposes the pre-window prefix the model never attended in
+    training).  Per-step work is O(W), independent of the decode length.
+
+    k_cache/v_cache: (B, W, H, d) rings; position p lives in slot
+    ``p mod W``.  Slot s currently holds position ``t - ((t - s) mod W)``
+    (never-written slots resolve to negative positions and are masked).
+    """
+    qk_t = _proj_heads(p["w_qk"], h_t, num_heads, cdt)   # (B, H, d)
+    v_t = _proj_heads(p["w_v"], h_t, num_heads, cdt)
+    d = qk_t.shape[-1]
+    # quantized caches: unscaled normed keys + query-side 1/sqrt(d)
+    # (see _self_attn_step — avoids the e4m3 subnormal range)
+    quant = k_cache.dtype != qk_t.dtype
+    k_t = _len_norm(qk_t) if quant else _len_norm(qk_t) * (d ** -0.5)
+    q_s = qk_t * (d ** -0.5) if quant else qk_t
+    w_cap = k_cache.shape[1]
+    slot = jnp.mod(t, w_cap)
+    k_cache = jax.lax.dynamic_update_slice_in_dim(
+        k_cache, _to_kv(k_t[:, None], k_cache.dtype), slot, axis=1)
+    v_cache = jax.lax.dynamic_update_slice_in_dim(
+        v_cache, _to_kv(v_t[:, None], v_cache.dtype), slot, axis=1)
+    scores = jnp.einsum("bhd,bwhd->bhw", q_s,
+                        k_cache.astype(cdt)).astype(jnp.float32)
+    s_idx = jnp.arange(w_cap)[None, None, :]
+    pos = t - jnp.mod(t - s_idx, w_cap)
+    win_start = jnp.maximum(0, (t // chunk - before) * chunk)
+    scores = jnp.where(pos < win_start, MASK_VALUE, scores)
+    scores = jnp.where(pos == t, SELF_MASK_VALUE, scores)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhw,bwhd->bhd", probs.astype(cdt),
+                     v_cache.astype(cdt))
+    out = out.reshape(out.shape[0], -1)
+    return dense(p["w_o"], out, cdt), k_cache, v_cache
+
+
+def _local_spec(cfg: ReformerTTSConfig, n_groups: int):
+    """Per-self-layer ring specs for kv_local: ``(chunk, before, W)`` for
+    layers whose resolved kind is 'local', None otherwise.  Non-local
+    layers in a mixed ``attn_layers`` decoder keep the full-prefix cache
+    (exact for 'full'; the documented superset for 'lsh')."""
+    from rtts.config import resolve_attention_kind
+    from rtts.models.stack import _layer_kinds
+
+    a = cfg.decoder.attention
+    kinds = [resolve_attention_kind(a, n_groups) if k == "auto" else k
+             for k in _layer_kinds(cfg.decoder)]
+    w_cap = min(a.chunk_length * (1 + a.num_chunks_before), n_groups)
+    return tuple(
+        (a.chunk_length, a.num_chunks_before, w_cap) if k == "local"
+        else None
+        for k in kinds)
+
+
 def _self_attn_step_lsh(p, h_t, k_cache, v_cache, b_cache, rotations, t,
                         num_heads, cdt):
     """LSH-cached incremental self-attention (SURVEY.md §3.2 "Incremental
@@ -430,12 +494,14 @@ def _stack_substep(params, cfg: ReformerTTSConfig, x_t, cdt,
 
 def _decoder_step(params, cfg: ReformerTTSConfig, x_t, state: DecodeState,
                   mem_k, mem_v, memory_mask, cdt, rotations=None,
-                  window=None):
+                  window=None, local_spec=None):
     """Run one frame through the decoder stack (two-stream recurrence).
 
     x_t: (B, D) post-prenet+posenc frame.  ``rotations`` non-None selects
-    the LSH bucket-cache attention.  ``window`` non-None applies monotonic
-    cross-attention windowing around ``state.align_pos`` (see
+    the LSH bucket-cache attention.  ``local_spec`` (per-self-layer
+    ``(chunk, before, W)`` or None, see ``_local_spec``) routes flagged
+    layers through the windowed ring cache.  ``window`` non-None applies
+    monotonic cross-attention windowing around ``state.align_pos`` (see
     ``_cross_attn_step``); the returned tracker is the LAST cross layer's
     attention peak (the layer the alignment diagnostics read).  Returns
     (out (B,D), k_caches, v_caches, b_caches, align_peak-or-None)."""
@@ -446,7 +512,12 @@ def _decoder_step(params, cfg: ReformerTTSConfig, x_t, state: DecodeState,
     peak = [None]
 
     def self_attn(ci, p, h):
-        if rotations is not None and isinstance(b_caches[ci], dict):
+        if local_spec is not None and local_spec[ci] is not None:
+            chunk, before, _ = local_spec[ci]
+            out, k_caches[ci], v_caches[ci] = _self_attn_step_local(
+                p, h, k_caches[ci], v_caches[ci], state.t, num_heads, cdt,
+                chunk, before)
+        elif rotations is not None and isinstance(b_caches[ci], dict):
             out, k_caches[ci], v_caches[ci], b_caches[ci] = \
                 _self_attn_step_lsh_chunk(
                     p, h, k_caches[ci], v_caches[ci], b_caches[ci],
@@ -491,7 +562,7 @@ def _pos_table(params, cfg: ReformerTTSConfig):
 
 def _make_step_fn(params, cfg: ReformerTTSConfig, mem_k, mem_v, memory_mask,
                   rng, stop_threshold, teacher_mel=None, rotations=None,
-                  attn_window=None):
+                  attn_window=None, local_spec=None):
     cdt = _dtype(cfg.compute_dtype)
     pos_table, pos_alpha = _pos_table(params, cfg)
     r = cfg.reduction_factor
@@ -508,7 +579,7 @@ def _make_step_fn(params, cfg: ReformerTTSConfig, mem_k, mem_v, memory_mask,
         h = h + pos_alpha.astype(h.dtype) * pe.astype(h.dtype)
         y, k_caches, v_caches, b_caches, peak = _decoder_step(
             params, cfg, h, state, mem_k, mem_v, memory_mask, cdt,
-            rotations=rotations, window=attn_window)
+            rotations=rotations, window=attn_window, local_spec=local_spec)
         group = dense(params["mel_head"], y, cdt).astype(jnp.float32)
         frames = group.reshape(-1, r, n_mels)            # (B, r, n_mels)
         stop_logit = dense(params["stop_head"], y, cdt)[..., 0].astype(jnp.float32)
@@ -704,7 +775,8 @@ def _make_block_step_fn(params, cfg: ReformerTTSConfig, mem_k, mem_v,
 
 def _init_state(params, cfg: ReformerTTSConfig, batch: int, max_frames: int,
                 lsh_cache: bool = False, ring_buckets: int = 0,
-                ring_capacity: int = 0, track_align: bool = False):
+                ring_capacity: int = 0, track_align: bool = False,
+                local_spec=None):
     cdt = _dtype(cfg.compute_dtype)
     kdt = _kv_dtype(cfg, cdt)
     a = cfg.decoder.attention
@@ -714,9 +786,17 @@ def _init_state(params, cfg: ReformerTTSConfig, batch: int, max_frames: int,
         raise ValueError(f"max_frames {max_frames} not a multiple of "
                          f"reduction_factor {r}")
     n_groups = max_frames // r
-    cache_shape = (batch, n_groups, a.num_heads, a.head_dim)
-    qk = tuple(jnp.zeros(cache_shape, kdt) for _ in range(n_self))
-    v = tuple(jnp.zeros(cache_shape, kdt) for _ in range(n_self))
+
+    def cache_len(ci):
+        # kv_local layers carry a fixed W-slot ring, not the full prefix
+        if local_spec is not None and local_spec[ci] is not None:
+            return local_spec[ci][2]
+        return n_groups
+
+    qk = tuple(jnp.zeros((batch, cache_len(i), a.num_heads, a.head_dim),
+                         kdt) for i in range(n_self))
+    v = tuple(jnp.zeros((batch, cache_len(i), a.num_heads, a.head_dim),
+                        kdt) for i in range(n_self))
     if ring_buckets > 0:
         # O(chunk) mode: per-(head, round, bucket) position ring buffers
         b = tuple(
@@ -746,7 +826,7 @@ def _init_state(params, cfg: ReformerTTSConfig, batch: int, max_frames: int,
 
 
 def _grow_state(state: DecodeState, cfg: ReformerTTSConfig,
-                new_groups: int) -> DecodeState:
+                new_groups: int, local_spec=None) -> DecodeState:
     """Pad the time axes of the decode buffers out to ``new_groups``.
 
     Used by staged decoding: the KV caches are the dominant per-step HBM
@@ -755,7 +835,8 @@ def _grow_state(state: DecodeState, cfg: ReformerTTSConfig,
     Pad values are the same as _init_state's (zeros; -1 for kv_lsh bucket
     ids so padding never matches a real bucket); ring buffers in the
     kv_lsh_chunk mode are position-indexed, not time-sized, and carry
-    over unchanged."""
+    over unchanged, as do kv_local's fixed W-slot rings (the ring slot is
+    ``pos mod W`` — resizing W mid-decode would scramble it)."""
     r = cfg.reduction_factor
 
     def pad_to(x, axis, new, fill=0):
@@ -766,8 +847,13 @@ def _grow_state(state: DecodeState, cfg: ReformerTTSConfig,
         widths[axis] = (0, n)
         return jnp.pad(x, widths, constant_values=fill)
 
-    k = tuple(pad_to(c, 1, new_groups) for c in state.k_caches)
-    v = tuple(pad_to(c, 1, new_groups) for c in state.v_caches)
+    def is_ring(ci):
+        return local_spec is not None and local_spec[ci] is not None
+
+    k = tuple(c if is_ring(i) else pad_to(c, 1, new_groups)
+              for i, c in enumerate(state.k_caches))
+    v = tuple(c if is_ring(i) else pad_to(c, 1, new_groups)
+              for i, c in enumerate(state.v_caches))
     b = tuple(bc if isinstance(bc, (dict, tuple)) else
               pad_to(bc, 3, new_groups, -1)
               for bc in state.b_caches)
@@ -841,11 +927,21 @@ def _auto_mode(cfg: ReformerTTSConfig, max_frames: int) -> str:
     set (the old factor-2 guess was 5x too eager; a 2k-frame request
     would have paid a 31%% slowdown)."""
     from rtts.config import resolve_attention_kind
+    from rtts.models.stack import _layer_kinds
 
     a = cfg.decoder.attention
     n_groups = max_frames // cfg.reduction_factor
-    if resolve_attention_kind(a, n_groups) != "lsh":
+    kinds = set(resolve_attention_kind(a, n_groups) if k == "auto" else k
+                for k in _layer_kinds(cfg.decoder))
+    if "lsh" not in kinds:
+        if "local" in kinds:
+            # kv_local is the training-faithful window AND O(W) per step
+            # vs kv_full's O(T) superset (fidelity/speed: PARITY.md
+            # "local serving", BENCH.md r5)
+            return "kv_local"
         return "kv_full"
+    if kinds != {"lsh"}:
+        return "kv_full"   # mixed lsh+other: serve through the superset
     ring_cap = min(
         a.chunk_length * (1 + a.num_chunks_before + a.num_chunks_after),
         n_groups)
@@ -886,8 +982,15 @@ def decode_greedy(
                            keys per round (SURVEY.md §3.2 incremental
                            cache; equals kv_lsh whenever no bucket
                            overflows the ring)
+          "kv_local"     — sliding-chunk ring cache for local-attention
+                           layers: the training-exact window
+                           [t//c - before .. t//c] chunks, O(W) per step
+                           (W = chunk*(1+before)); non-local layers in a
+                           mixed attn_layers decoder keep their full
+                           cache
           "auto"         — kv_lsh_chunk for LSH decoders WHEN it saves
-                           work (see _auto_mode), else kv_full
+                           work (see _auto_mode), kv_local for local
+                           decoders, else kv_full
 
     unroll: decoder steps executed per while_loop trip.  For kv_full
     this uses BLOCK decoding: each trip runs k steps with deferred
@@ -931,6 +1034,9 @@ def decode_greedy(
         # surface as an opaque shape mismatch at the final frame mask
         raise ValueError(f"max_frames {max_frames} not a multiple of "
                          f"reduction_factor {cfg.reduction_factor}")
+    if mode not in ("kv_full", "kv_lsh", "kv_lsh_chunk", "kv_local"):
+        raise ValueError(f"unknown decode mode {mode!r} (want kv_full, "
+                         "kv_lsh, kv_lsh_chunk, kv_local or auto)")
     batch = memory.shape[0]
     params = _precast_weights(params, cdt)
     mem_k, mem_v = _init_mem_kv(params, cfg, memory.astype(cdt), cdt)
@@ -938,6 +1044,14 @@ def decode_greedy(
     if mode in ("kv_lsh", "kv_lsh_chunk"):
         rotations, nb = _decode_rotations(cfg, jax.random.fold_in(rng, _ROT_KEY),
                                           max_frames)
+    local_spec = None
+    if mode == "kv_local":
+        local_spec = _local_spec(cfg, max_frames // cfg.reduction_factor)
+        if not any(s is not None for s in local_spec):
+            raise ValueError(
+                "kv_local needs at least one decoder self-attention layer "
+                "with resolved kind 'local' (attention.kind or attn_layers)"
+                " — this decoder has none; use mode='auto'")
     if attn_window is not None:
         w_back, w_fwd = attn_window
         if w_back < 0 or w_fwd < 1:
@@ -950,7 +1064,7 @@ def decode_greedy(
                              "alignment tracker)")
     step = _make_step_fn(params, cfg, mem_k, mem_v, memory_mask, rng,
                          stop_threshold, rotations=rotations,
-                         attn_window=attn_window)
+                         attn_window=attn_window, local_spec=local_spec)
     a = cfg.decoder.attention
     n_groups = max_frames // cfg.reduction_factor
     if staged == "auto":
@@ -969,7 +1083,8 @@ def decode_greedy(
         lsh_cache=(mode == "kv_lsh"),
         ring_buckets=(nb if mode == "kv_lsh_chunk" else 0),
         ring_capacity=min(ring_cap, n_groups),
-        track_align=attn_window is not None)
+        track_align=attn_window is not None,
+        local_spec=local_spec)
 
     if unroll > 1 and mode == "kv_full":
         # block decoding: one batched cache write per trip (keeps XLA's
@@ -984,7 +1099,7 @@ def decode_greedy(
 
     for size in sizes:
         if size * cfg.reduction_factor > state.mel.shape[1]:
-            state = _grow_state(state, cfg, size)
+            state = _grow_state(state, cfg, size, local_spec=local_spec)
 
         def cond(s: DecodeState, _cap=size):
             return (s.t < _cap) & ~jnp.all(s.done)
@@ -1077,11 +1192,13 @@ def decode_teacher_check(
     memory: jnp.ndarray,
     memory_mask: jnp.ndarray,
     teacher_input: jnp.ndarray,   # (B, T, n_mels) — same input decode_train sees
+    mode: str = "kv_full",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run the incremental path fed with teacher frames; returns
     (mel_pre (B,T,n_mels), stop_logits (B,T)) for parity tests against
     decode_train (deterministic prenet dropout is disabled in both via
-    rate=0 configs in the test)."""
+    rate=0 configs in the test).  ``mode="kv_local"`` exercises the
+    windowed ring cache — exact vs a local-attention decode_train."""
     cdt = _dtype(cfg.compute_dtype)
     b, t_total, _ = teacher_input.shape
     # pre-cast here too: the exact-equality test vs decode_train (which
@@ -1089,11 +1206,13 @@ def decode_teacher_check(
     # for _precast_weights
     params = _precast_weights(params, cdt)
     mem_k, mem_v = _init_mem_kv(params, cfg, memory.astype(cdt), cdt)
+    local_spec = (_local_spec(cfg, t_total // cfg.reduction_factor)
+                  if mode == "kv_local" else None)
     step = _make_step_fn(params, cfg, mem_k, mem_v, memory_mask,
                          jax.random.PRNGKey(0), 10.0,
-                         teacher_mel=teacher_input)
+                         teacher_mel=teacher_input, local_spec=local_spec)
     r = cfg.reduction_factor
-    state = _init_state(params, cfg, b, t_total)
+    state = _init_state(params, cfg, b, t_total, local_spec=local_spec)
     state = state._replace(
         prev_frame=teacher_input[:, :r].reshape(b, r * cfg.n_mels))
 

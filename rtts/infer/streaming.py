@@ -135,7 +135,8 @@ class StreamingSynthesizer:
                 cfg, jax.random.fold_in(rng, _ROT_KEY), self.max_frames)
         step = _make_step_fn(params, cfg, mem_k, mem_v, memory_mask, rng,
                              cfg.stop_threshold, rotations=rotations,
-                             attn_window=self.attn_window)
+                             attn_window=self.attn_window,
+                             local_spec=self._local_spec())
         target = state.t + n_groups
         total = self.max_frames // cfg.reduction_factor
 
@@ -143,6 +144,15 @@ class StreamingSynthesizer:
             return (s.t < jnp.minimum(target, total)) & ~jnp.all(s.done)
 
         return jax.lax.while_loop(cond, step, state)
+
+    def _local_spec(self):
+        """kv_local's per-layer ring specs (None for the other modes)."""
+        if self.mode != "kv_local":
+            return None
+        from rtts.infer.decode import _local_spec
+
+        return _local_spec(self.cfg.model,
+                           self.max_frames // self.cfg.model.reduction_factor)
 
     def _postnet_impl(self, params, mel_window):
         cdt = _dtype(self.cfg.model.compute_dtype)
@@ -188,7 +198,8 @@ class StreamingSynthesizer:
             ring_buckets=(nb if self.mode == "kv_lsh_chunk" else 0),
             ring_capacity=min(ring_cap,
                               self.max_frames // cfg.reduction_factor),
-            track_align=self.attn_window is not None)
+            track_align=self.attn_window is not None,
+            local_spec=self._local_spec())
 
         # vocoder context bookkeeping
         pn_ctx = _postnet_context(cfg)

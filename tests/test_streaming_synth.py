@@ -104,6 +104,37 @@ def test_stream_chunk_shapes():
     assert hasattr(ss, "last_lengths")
 
 
+def test_streamed_mel_kv_local_mode_matches_batch():
+    """Streaming with mode='kv_local' on a local-attention decoder routes
+    through the windowed ring cache and must reproduce batch decode_greedy
+    (kv_local) on the emitted region at f32."""
+    from tests.test_kv_local import local_cfg
+
+    model_cfg = local_cfg()
+    cfg = from_dict(Config, {
+        "model": to_dict(model_cfg),
+        "dataset": {"audio": {"n_mels": model_cfg.n_mels}},
+    })
+    params = M.init(jax.random.PRNGKey(0), model_cfg)
+    texts = ["hello world"]
+    ss = StreamingSynthesizer(cfg, params, None, max_frames=32,
+                              mode="kv_local")
+    smel = np.concatenate(list(ss.stream(texts, chunk_frames=8)), axis=1)
+
+    from rtts.text import encode_batch
+
+    tokens, tmask = encode_batch(
+        texts, pad_to_multiple=cfg.dataset.text.pad_to_multiple)
+    memory = M.encode(params, model_cfg, jnp.asarray(tokens),
+                      jnp.asarray(tmask), deterministic=True)
+    bmel, blen, _ = decode_greedy(params, model_cfg, memory,
+                                  jnp.asarray(tmask), max_frames=32,
+                                  mode="kv_local")
+    T = min(smel.shape[1], int(blen[0]))
+    np.testing.assert_allclose(smel[0, :T], np.asarray(bmel)[0, :T],
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_streamed_mel_lsh_chunk_mode_matches_batch():
     """Streaming with mode='kv_lsh_chunk' on an LSH decoder routes through
     the O(chunk) ring cache and must reproduce batch decode_greedy
