@@ -52,6 +52,7 @@ Three entry points, measured in ``bench --which continuous``:
 
 from __future__ import annotations
 
+import collections
 from typing import Any, Dict, List, NamedTuple, Optional, Tuple
 
 import jax
@@ -317,6 +318,9 @@ class ServingEngine:
         self.live: Dict[int, _Slot] = {}              # slot index -> meta
         self.results: Dict[int, Tuple[np.ndarray, int]] = {}
         self._next_id = 0
+        # (done_dev, lengths_dev, {slot: meta at dispatch}) per segment
+        # still awaiting its harvest — see step()'s double-buffering
+        self._inflight: collections.deque = collections.deque()
 
     # ------------------------------------------------------------- state --
     def _init_state(self) -> EngineState:
@@ -425,7 +429,10 @@ class ServingEngine:
     def _fill_slots(self) -> None:
         if not self.queue:
             return
-        done = np.asarray(self.state.done)
+        # occupancy is host-side bookkeeping (``self.live``), NOT a device
+        # fetch: reading state.done here would block on the in-flight
+        # segment and serialize the pipeline step() builds (a harvested
+        # slot is by construction done on-device)
         tokens = np.zeros((self.slots, self.token_len), np.int32)
         # dummy (non-installed) rows keep an all-True mask so the batched
         # encode never sees a fully-masked attention row
@@ -436,7 +443,7 @@ class ServingEngine:
         for slot in range(self.slots):
             if not self.queue:
                 break
-            if slot in self.live or not done[slot]:
+            if slot in self.live:
                 continue
             rid, tok, msk, budget = self.queue.pop(0)
             tokens[slot] = tok[0]
@@ -453,8 +460,20 @@ class ServingEngine:
             self.live[slot] = _Slot(rid)
 
     def step(self) -> List[int]:
-        """Admit queued requests, run one segment, harvest finishers.
-        Returns the request ids completed by this call.
+        """Admit queued requests, dispatch one segment, harvest the
+        segment dispatched by the PREVIOUS call.  Returns the request ids
+        completed by this call.
+
+        Double-buffered (VERDICT r4 #8): the done/lengths fetch for
+        segment k — a blocking host round-trip, ~25 ms on the tunneled
+        backend — happens only AFTER segment k+1 is dispatched, so
+        scheduling overlaps device compute instead of serializing with
+        it.  Safe because a done slot parks its writes in the spare group
+        and an all-done segment early-exits (see _make_segment_fn); a
+        speculative segment can therefore never corrupt an unharvested
+        utterance.  Completions surface one step() call late; drain loops
+        key on the returned ids / ``idle``, which see every request
+        exactly once.
 
         The only per-segment device->host traffic is the tiny done/lengths
         fetch (the scheduling decision); frames accumulate on-device in
@@ -463,13 +482,22 @@ class ServingEngine:
         ``fetch`` (the tunneled backend moves ~12 MB/s, so shipping every
         segment's frames to the host was 5x the decode compute)."""
         self._fill_slots()
-        if not self.live:
+        if self.live:
+            self.state, done_d, lengths_d = self._segment_fn(
+                self.params, self.state, self.rng)
+            self._inflight.append((done_d, lengths_d, dict(self.live)))
+        if not self._inflight:
             return []
-        self.state, done_d, lengths_d = self._segment_fn(
-            self.params, self.state, self.rng)
+        if self.live and len(self._inflight) < 2:
+            return []          # pipeline filling: keep one segment in flight
+        done_d, lengths_d, live_at = self._inflight.popleft()
         done = np.asarray(done_d)
         lengths = np.asarray(lengths_d)
-        fin = [(slot, meta) for slot, meta in self.live.items() if done[slot]]
+        # harvest only slots still occupied by the SAME request they held
+        # when that segment was dispatched (a slot can be harvested and
+        # re-admitted while a later segment is in flight)
+        fin = [(slot, meta) for slot, meta in live_at.items()
+               if done[slot] and self.live.get(slot) == meta]
         if not fin:
             return []
         # one postnet over the whole slot batch; per-row frame_mask makes
