@@ -90,10 +90,13 @@ _FLOP_TRACKERS: list = []
 
 class track_flops:
     """Context manager collecting analytic FLOPs of flash kernels traced
-    (not executed) inside the block, as ``.flops``."""
+    (not executed) inside the block, as ``.flops`` — and their analytic
+    HBM bytes as ``.bytes`` (XLA cost analysis cannot see inside a Mosaic
+    custom call; the roofline probe needs both sides)."""
 
     def __enter__(self) -> "track_flops":
         self.flops = 0.0
+        self.bytes = 0.0
         _FLOP_TRACKERS.append(self)
         return self
 
@@ -104,6 +107,11 @@ class track_flops:
 def _record_flops(f: float) -> None:
     for t in _FLOP_TRACKERS:
         t.flops += f
+
+
+def _record_bytes(b: float) -> None:
+    for t in _FLOP_TRACKERS:
+        t.bytes += b
 
 
 def _matmul_flops(bh: int, l_q: int, l_k: int, dh: int, bq: int, bk: int,
@@ -394,6 +402,10 @@ def _fwd_impl(q3, k3, v3, mf, qo, sd, heads, causal, self_mask, sm_scale,
     if not interpret:
         # QK^T + PV
         _record_flops(2.0 * _matmul_flops(bh, l_q, l_k, dh, bq, bk, causal))
+        # HBM traffic: Q, K, V streamed in once; O (+ f32 lse row) out
+        esz = q3.dtype.itemsize
+        _record_bytes(esz * bh * dh * (l_q + 2 * l_k + l_q)
+                      + (4.0 * bh * l_q if save_lse else 0.0))
     kernel = functools.partial(
         _fwd_kernel, causal=causal, self_mask=self_mask, sm_scale=sm_scale,
         mask_value=mask_value, self_mask_value=self_mask_value, n_k=n_k,
@@ -584,6 +596,10 @@ def _bwd_impl(q3, k3, v3, mf, qo, sd, out, lse, do, heads, causal, self_mask,
     if not interpret:
         # dkv kernel: QK^T recompute, dp, dv, dk; dq kernel: QK^T, dp, dq
         _record_flops(7.0 * _matmul_flops(bh, l_q, l_k, dh, bq, bk, causal))
+        # two kernels each stream Q, K, V, dO in; dK+dV resp. dQ out
+        esz = q3.dtype.itemsize
+        _record_bytes(esz * bh * dh * (2 * (2 * l_q + 2 * l_k) + 2 * l_k + l_q)
+                      + 2 * 4.0 * bh * l_q)
 
     common = dict(causal=causal, self_mask=self_mask, sm_scale=sm_scale,
                   mask_value=mask_value, self_mask_value=self_mask_value,
