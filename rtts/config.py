@@ -331,6 +331,13 @@ class SqueezeWaveConfig:
     use_pallas: bool = False
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
+    # Soft bound on the coupling log-scale: log_s <- clamp*tanh(log_s/clamp),
+    # applied identically in forward and inverse (invertibility preserved).
+    # 0 disables (exact WaveGlow semantics).  Needed on near-deterministic
+    # synthetic corpora where the NLL is unbounded below: the 20k-step
+    # flagship vocoder run diverged at step ~1800 (log_s_mean ~9 -> forward
+    # overflow -> NaN) even at f32 compute, LR 1e-4, grad-clip 1.0.
+    log_s_clamp: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -210,6 +210,21 @@ def upsample_mel(mel: jnp.ndarray, target_len: int) -> jnp.ndarray:
     return jnp.repeat(mel, r, axis=1)
 
 
+def _bound_log_s(log_s: jnp.ndarray, clamp: float) -> jnp.ndarray:
+    """Soft-bound the coupling log-scale: clamp * tanh(log_s / clamp).
+
+    Flow NLL is unbounded below on near-deterministic audio (the synthetic
+    corpora), which lets log_s run away during warmup (measured: flagship
+    vocoder NaN'd at step ~1800 with log_s_mean ~9 even at f32/LR 1e-4,
+    grad-clip 1.0 — the blow-up is in the FORWARD, so clipping can't stop
+    it).  The bound is applied identically in forward and inverse, so the
+    flow stays exactly invertible.  clamp <= 0 disables (exact WaveGlow
+    semantics, the reference behavior — SURVEY.md §3.1 #11)."""
+    if clamp <= 0:
+        return log_s
+    return clamp * jnp.tanh(log_s / clamp)
+
+
 def wn_apply(wn, audio_half: jnp.ndarray, mel_up: jnp.ndarray,
              n_layers: int, wn_channels: int,
              compute_dtype=None) -> jnp.ndarray:
@@ -267,6 +282,7 @@ def forward(params, cfg: SqueezeWaveConfig, mel: jnp.ndarray,
         st = wn_apply(fp["wn"], a0.astype(cdt), mel_up, cfg.wn_layers,
                       cfg.wn_channels, cdt).astype(jnp.float32)
         log_s, t = st[..., :n_half], st[..., n_half:]
+        log_s = _bound_log_s(log_s, cfg.log_s_clamp)
         a1 = a1 * jnp.exp(log_s) + t
         log_s_list.append(log_s)
         x = jnp.concatenate([a0, a1], axis=-1)
@@ -374,6 +390,7 @@ def _infer_chunk(params, mel_c, z_c, *, cfg: SqueezeWaveConfig):
         st = wn_apply(fp["wn"], a0.astype(cdt), mel_up, cfg.wn_layers,
                       cfg.wn_channels, cdt).astype(jnp.float32)
         log_s, t = st[..., :n_half], st[..., n_half:]
+        log_s = _bound_log_s(log_s, cfg.log_s_clamp)
         a1 = (a1 - t) * jnp.exp(-log_s)
         x = jnp.concatenate([a0, a1], axis=-1)
         if "w_1x1_inv" in fp["inv1x1"]:

@@ -97,8 +97,12 @@ def pytest_collection_modifyitems(config, items):
     # stale node id (e.g. a renamed parametrization) — fail loudly instead
     # of silently shrinking the quick tier (ADVICE r4).  Entries whose file
     # wasn't collected at all (single-file pytest invocations) are fine.
+    # ...and node-id invocations (pytest file.py::test_x) legitimately
+    # collect a file without most of its items — don't enforce there.
+    node_id_invocation = any("::" in str(a) for a in config.args)
     stale = [q for q in QUICK
-             if q not in matched and q.split("::")[0] in collected_files]
+             if q not in matched and q.split("::")[0] in collected_files
+             and not node_id_invocation]
     if stale:
         raise pytest.UsageError(
             "conftest.QUICK entries matched no collected test (stale node "

@@ -139,3 +139,26 @@ def test_loss_decreases_training(setup):
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses[:3] + losses[-3:]
     assert np.isfinite(losses).all()
+
+def test_roundtrip_with_log_s_clamp(setup):
+    """log_s_clamp must preserve exact invertibility: the bound is applied
+    identically in forward and inverse (rtts/models/squeezewave.py::
+    _bound_log_s), so infer(forward(audio)) == audio still holds — and with
+    a large pre-clamp log_s the UNclamped inverse must NOT reconstruct,
+    proving the clamp is active in both directions."""
+    cfg0, params0, mel, audio = setup
+    # zero-init end convs give log_s == 0 — perturb them so log_s is O(1)
+    # and a 0.5 bound actually bites
+    key = jax.random.PRNGKey(7)
+    params = jax.tree_util.tree_map(
+        lambda x: x + 0.1 * jax.random.normal(key, x.shape, x.dtype), params0)
+    cfg = small_cfg(log_s_clamp=0.5)
+    z, log_s_list, _ = SW.forward(params, cfg, mel, audio)
+    assert float(jnp.max(jnp.abs(log_s_list[-1]))) <= 0.5 + 1e-6
+    assert float(jnp.max(jnp.abs(log_s_list[-1]))) > 0.45  # bound is active
+    recon = SW._infer_chunk(params, mel, z, cfg=cfg)
+    np.testing.assert_allclose(np.asarray(recon), np.asarray(audio),
+                               atol=1e-4, rtol=1e-3)
+    # inverse WITHOUT the clamp must disagree (the clamp changed forward)
+    recon_unclamped = SW._infer_chunk(params, mel, z, cfg=cfg0)
+    assert float(jnp.max(jnp.abs(recon_unclamped - audio))) > 1e-3
