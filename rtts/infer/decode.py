@@ -933,15 +933,21 @@ def _auto_mode(cfg: ReformerTTSConfig, max_frames: int) -> str:
     n_groups = max_frames // cfg.reduction_factor
     kinds = set(resolve_attention_kind(a, n_groups) if k == "auto" else k
                 for k in _layer_kinds(cfg.decoder))
+    if "local" in kinds:
+        # kv_local whenever the stack has local layers (pure OR mixed):
+        # it is the training-faithful window AND O(W) per step on those
+        # layers vs kv_full's O(T) superset; non-local layers route
+        # per-layer (full -> exact prefix, lsh -> the same superset
+        # kv_full would use).  Measured (PARITY.md "local serving",
+        # BENCH.md r5 "kv_local"): fidelity drift vs recompute is
+        # checkpoint noise in both modes (ordering flips between the 2k
+        # and 6k arms), speed is 1.07x/1.38x/1.66x at 512/2048/4096
+        # frames on the mixed [local,lsh]x2 decoder.
+        return "kv_local"
     if "lsh" not in kinds:
-        if "local" in kinds:
-            # kv_local is the training-faithful window AND O(W) per step
-            # vs kv_full's O(T) superset (fidelity/speed: PARITY.md
-            # "local serving", BENCH.md r5)
-            return "kv_local"
         return "kv_full"
     if kinds != {"lsh"}:
-        return "kv_full"   # mixed lsh+other: serve through the superset
+        return "kv_full"   # mixed lsh+full: serve through the superset
     ring_cap = min(
         a.chunk_length * (1 + a.num_chunks_before + a.num_chunks_after),
         n_groups)

@@ -42,8 +42,12 @@ def time_mode(fn, reps=5):
 def main():
     enable_compilation_cache()
     print(f"devices: {jax.devices()}", flush=True)
+    import dataclasses
+
+    from rtts.text import vocab_size
+
     cfg = load_config("configs/parity_local.yaml")
-    mcfg = cfg.model
+    mcfg = dataclasses.replace(cfg.model, vocab_size=vocab_size())
     B, TOK = 4, 64
     key = jax.random.PRNGKey(0)
     params = M.init(key, mcfg)

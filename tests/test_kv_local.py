@@ -102,9 +102,11 @@ def test_auto_mode_resolves_local():
     assert _auto_mode(local_cfg(), max_frames=64) == "kv_local"
     assert _auto_mode(local_cfg(attn_layers=["local", "full"]),
                       max_frames=64) == "kv_local"
-    # mixed lsh+local serves through the superset (conservative)
+    # mixed lsh+local routes to kv_local too (r5 decision: fidelity
+    # drift is checkpoint noise in both modes, kv_local is faster —
+    # PARITY.md "local serving", BENCH.md r5)
     assert _auto_mode(local_cfg(attn_layers=["local", "lsh"]),
-                      max_frames=64) == "kv_full"
+                      max_frames=64) == "kv_local"
 
 
 def test_greedy_kv_local_jits_and_stops(batch):
