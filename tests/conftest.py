@@ -64,6 +64,7 @@ QUICK = [
     "test_download_parsing.py::test_timed_transcript_page_golden",
     # decode/serving
     "test_decode_modes.py::test_staged_matches_fixed_kv_full",
+    "test_kv_local.py::test_auto_mode_resolves_local",
     "test_continuous.py::test_shape_validation",
     # checkpoint / optimizer
     "test_checkpoint.py::test_save_restore_round_trip",
