@@ -68,10 +68,16 @@ def bitonic_sort_cols(x, interpret=False):
     """Sort each column of (n, C) int32 ascending, one fused kernel."""
     n, c = x.shape
     assert n & (n - 1) == 0, "bitonic needs a power-of-two length"
+    # the unrolled compare-exchange chain needs > the default 16M scoped
+    # VMEM at L=4096 (measured: 23.05M requested) — raise the cap
+    kwargs = {} if interpret else {
+        "compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024)}
     return pl.pallas_call(
         functools.partial(_bitonic_kernel, n=n),
         out_shape=jax.ShapeDtypeStruct((n, c), jnp.int32),
         interpret=interpret,
+        **kwargs,
     )(x)
 
 
