@@ -772,6 +772,8 @@ def bench_latency(cfg: Optional[Config] = None,
     text = ["speech synthesis latency probe sentence"]
     streaming: Dict[str, Any] = {}
     for ch in chunk_sweep:
+        for _ in ss.stream(text, chunk_frames=ch, seed=0):
+            pass                           # warm this chunk size's compiles
         ttfa, total, chunks = [], [], 0
         for _ in range(max(repeats, 5)):   # >=5 reps: the band needs mass
             t0 = time.perf_counter()
